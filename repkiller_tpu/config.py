@@ -1,0 +1,75 @@
+"""Pipeline configuration.
+
+Single source of truth for every tunable in the repeat-detection engine.
+Mirrors the reference tool's CLI flags (repkiller / GECKO family; the
+reference mount at /root/reference was empty — see SURVEY.md §0 — so the
+flag surface is reconstructed from SURVEY.md §2.1/§5 and BASELINE.json).
+
+Every stage — oracle (numpy), single-chip device pipeline, and the
+sharded multi-host pipeline — consumes the same ``Config`` so outputs are
+bit-identical across backends (BASELINE.json north-star requirement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- seeding (SURVEY.md §2.2: k-mer index build) ----
+    k: int = 12                  # seed k-mer size; 1..16 (2 bits/base in uint32)
+    max_occ: int = 64            # skip k-mers occurring more often (hyper-repeat cap)
+
+    # ---- hit filtering (SURVEY.md §2.2: filterHits equivalent) ----
+    min_hit_dist: int = 32       # on one diagonal, drop hits closer than this to
+                                 # the previously kept hit (posX distance)
+
+    # ---- extension (SURVEY.md §2.2: FragHits equivalent) ----
+    extend_mode: str = "ungapped"  # "ungapped" (x-drop) | "banded" (affine-gap DP)
+    match: int = 4               # match score (GECKO-style +4)
+    mismatch: int = -4           # mismatch score (GECKO-style -4)
+    x_drop: int = 40             # stop when score falls this far below running max
+    max_extend: int = 2048       # hard cap on per-side extension length (static shape)
+    # banded affine-gap DP (BASELINE.json: "banded affine-gap DP kernel")
+    band: int = 16               # band half-width around the seed diagonal
+    gap_open: int = 8            # positive penalty, applied on gap open (first gap base)
+    gap_extend: int = 2          # positive penalty per additional gap base
+
+    # ---- fragment acceptance ----
+    min_len: int = 40            # min fragment length (bp on X)
+    min_identity: float = 0.60   # min fraction of identities over fragment length
+
+    # ---- repeat-family clustering (repkiller proper, SURVEY.md §2.1) ----
+    proximity: int = 32          # intervals within this many bp are "overlapping"
+    len_ratio: float = 0.5       # min(short/long) fragment-length ratio to link; 0 = off
+    min_family: int = 2          # families with fewer fragments are not repeats
+
+    # ---- strands ----
+    strands: str = "f"           # "f", "r", or "fr"
+
+    # ---- capacities (static shapes for XLA; overflow is detected, not silent) ----
+    hit_capacity: int = 1 << 20      # max seed hits kept per (window, strand)
+    frag_capacity: int = 1 << 16     # max fragments per (window, strand)
+
+    # ---- streaming / sharding (SURVEY.md §2.3) ----
+    window: int = 1 << 22        # query window length (bp) for data-parallel streaming
+    overlap: int = 4096          # window overlap; must be >= 2*max_extend so no
+                                 # fragment is lost at a boundary (validated below)
+
+    def __post_init__(self):
+        if not (1 <= self.k <= 16):
+            raise ValueError(f"k must be in [1,16], got {self.k}")
+        if self.extend_mode not in ("ungapped", "banded"):
+            raise ValueError(f"unknown extend_mode {self.extend_mode!r}")
+        if self.strands not in ("f", "r", "fr"):
+            raise ValueError(f"strands must be 'f','r','fr', got {self.strands!r}")
+        if self.gap_open < 0 or self.gap_extend < 0:
+            raise ValueError("gap penalties are stored positive")
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config()
