@@ -34,8 +34,8 @@ class Config:
     max_extend: int = 2048       # hard cap on per-side extension length (static shape)
     # banded affine-gap DP (BASELINE.json: "banded affine-gap DP kernel")
     band: int = 16               # band half-width around the seed diagonal
-    gap_open: int = 8            # positive penalty, applied on gap open (first gap base)
-    gap_extend: int = 2          # positive penalty per additional gap base
+    gap_open: int = 8            # positive penalty; a gap of length g costs
+    gap_extend: int = 2          #   gap_open + g * gap_extend (Gotoh affine)
 
     # ---- fragment acceptance ----
     min_len: int = 40            # min fragment length (bp on X)
