@@ -1,0 +1,130 @@
+"""Single-device end-to-end comparison pipeline (SURVEY.md §3.3, §7 M1).
+
+FASTA codes -> k-mer index -> seed hits -> diagonal filter -> extension ->
+merge/accept -> canonical fragments, all on-device as one jitted program of
+bulk array passes; repeat-family clustering (repkiller proper, tiny data)
+runs on host afterwards. Output is bit-identical to oracle.pipeline.compare
+— asserted by tests/unit/test_device.py on every stage combination.
+
+Static-shape contract: arrays are sized by Config capacities with validity
+masks; true counts are returned so overflow raises instead of truncating.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .index.build import build_index
+from .seeds.join import join_hits
+from .seeds.filter import filter_hits
+from .extend.ungapped import extend_ungapped
+from .chain.merge import merge_accept
+from .oracle import pipeline as orc
+
+
+def revcomp_device(codes: jnp.ndarray) -> jnp.ndarray:
+    """Reverse complement on device; N (code 4) stays N. Matches
+    io.codec.revcomp_codes."""
+    comp = jnp.where(codes < 4, 3 - codes, codes).astype(codes.dtype)
+    return comp[::-1]
+
+
+def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
+    """Hits + extension for one strand; returns frag dict + valid + totals."""
+    kx, pxi, nxv = idxX
+    if self_cmp and strand == 0:
+        idxY = idxX
+        self_mode = "f"
+    else:
+        idxY = build_index(cy_cmp, cfg.k)
+        self_mode = ("r" if strand == 1 else None) if self_cmp else None
+    ky, pyi, nyv = idxY
+
+    hpx, hpy, hvalid, total_hits = join_hits(
+        kx, pxi, nxv, ky, pyi, nyv,
+        k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
+        self_mode=self_mode, y_len=cy_cmp.shape[0],
+    )
+    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
+
+    if cfg.extend_mode == "ungapped":
+        frag = extend_ungapped(
+            spx, spy, svalid, cx, cy_cmp,
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+        )
+    else:
+        from .extend.banded_xla import extend_banded
+        frag = extend_banded(
+            spx, spy, svalid, cx, cy_cmp,
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+            band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+        )
+    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
+    return frag, svalid, total_hits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))
+def _compare_jit(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
+    """cy is ignored (aliased to cx) when self_cmp."""
+    cy_f = cx if self_cmp else cy
+    idxX = build_index(cx, cfg.k)
+
+    frags, valids, totals = [], [], []
+    if "f" in cfg.strands:
+        fr, va, th = _one_strand(cx, idxX, cy_f, 0, self_cmp, cfg)
+        frags.append(fr), valids.append(va), totals.append(th)
+    if "r" in cfg.strands:
+        cy_r = revcomp_device(cy_f)
+        fr, va, th = _one_strand(cx, idxX, cy_r, 1, self_cmp, cfg)
+        frags.append(fr), valids.append(va), totals.append(th)
+
+    frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
+    valid = jnp.concatenate(valids)
+    out, valid_out, n_frags = merge_accept(
+        frag, valid, cfg.min_len, cfg.min_identity, y_len=cy_f.shape[0]
+    )
+    total_hits = jnp.stack(totals)
+    return out, n_frags, total_hits
+
+
+def compare(
+    codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config
+) -> Dict[str, np.ndarray]:
+    """Device-pipeline equivalent of oracle.pipeline.compare.
+
+    Returns the canonical fragment dict (original-genome coordinates, numpy,
+    compacted to the true count) with the host-computed "group" family
+    column. Raises on capacity overflow rather than silently truncating.
+    """
+    self_cmp = codesY is None
+    cx = jnp.asarray(np.asarray(codesX, np.uint8))
+    cy = cx if self_cmp else jnp.asarray(np.asarray(codesY, np.uint8))
+    if int(cx.shape[0]) < cfg.k or int(cy.shape[0]) < cfg.k:
+        frag = {f: np.zeros(0, np.int32) for f in orc.FRAG_FIELDS}
+        frag["group"] = np.zeros(0, np.int32)
+        return frag
+
+    out, n_frags, total_hits = _compare_jit(cx, cy, cfg, self_cmp)
+    total_hits = np.asarray(total_hits)
+    if (total_hits > cfg.hit_capacity).any():
+        raise ValueError(
+            f"hit_capacity={cfg.hit_capacity} overflow: strand hit totals "
+            f"{total_hits.tolist()}; raise Config.hit_capacity"
+        )
+    n = int(n_frags)
+    if n > 0 and n == out["xStart"].shape[0]:
+        raise ValueError(
+            f"frag capacity overflow ({n} fragments fill the array); "
+            "raise Config.hit_capacity"
+        )
+    frag = {k: np.asarray(v[:n]) for k, v in out.items()}
+    frag["group"] = orc.cluster_families(frag, cfg, self_cmp)
+    return frag

@@ -1,0 +1,196 @@
+"""Sharded multi-device comparison pipeline (SURVEY.md §3.4, §7 M4/M5).
+
+Structure (one jitted program over a (data, shard) mesh):
+
+  stage A  shard_map join — the only irregular stage. Device (d, s)
+           extracts the k-mers of query window d (a static-size slice of
+           the padded X codes), joins them against the k-mers of Y that
+           hash-prefix shard s owns, and emits a static-capacity hit
+           block. Window ownership partitions hits by px; prefix
+           ownership partitions them by k-mer; so the union of all
+           (d, s) blocks IS the single-device hit set, each hit exactly
+           once — equality with the oracle is by construction, not by
+           reconciliation (SURVEY.md §7 "Hard parts" #1).
+  stage B  global ops — hit thinning (one lax.sort over the gathered
+           blocks), a sharding constraint that re-balances the surviving
+           seeds evenly across ALL devices (extension cost is per-seed,
+           not per-window, so this fixes hit-density skew), extension,
+           and the merge/accept/canonical sort. XLA inserts the
+           all-gathers/all-to-alls over ICI; no hand-written collectives
+           (SURVEY.md §2.3).
+
+The final fragment table is bit-identical to oracle.pipeline.compare and
+device.compare for every mesh shape — asserted by tests/dist/.
+
+Memory note: codes and indexes are replicated (HBM-resident 2-bit-packable
+arrays are small relative to HBM even at human-chr1 scale); what is
+sharded is the WORK. Physically distributed index storage rides the same
+ownership function and is a later milestone (SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..index.build import build_index
+from ..seeds.join import join_hits
+from ..seeds.filter import filter_hits
+from ..extend.ungapped import extend_ungapped
+from ..chain.merge import merge_accept
+from ..device import revcomp_device
+from ..oracle import pipeline as orc
+from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
+
+NCODE = jnp.uint8(4)
+
+
+def _window_join(cx_pad, idxY, idxX_occ, win: int, cap_dev: int,
+                 cfg: Config, self_mode: Optional[str], y_len: int,
+                 n_shard: int):
+    """Per-device body of stage A. All inputs replicated."""
+    d = jax.lax.axis_index(DATA_AXIS)
+    s = jax.lax.axis_index(SHARD_AXIS)
+    w0 = (d * jnp.int32(win)).astype(jnp.int32)
+    sl = jax.lax.dynamic_slice(cx_pad, (w0,), (win + cfg.k - 1,))
+    km, pos, nv = build_index(sl, cfg.k)
+    pos = pos + w0                               # window-local -> global
+    ky, py, nyv = idxY
+    hpx, hpy, hv, total = join_hits(
+        km, pos, nv, ky, py, nyv,
+        k=cfg.k, max_occ=cfg.max_occ, capacity=cap_dev,
+        self_mode=self_mode, y_len=y_len,
+        occ_idx=idxX_occ, shard=(s, n_shard),
+    )
+    return hpx, hpy, hv, total.reshape(1)
+
+
+def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
+                        self_cmp: bool, cfg: Config, mesh: Mesh,
+                        win: int, cap_dev: int):
+    """Sharded hits + balanced extension for one strand."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_shard = mesh.shape[SHARD_AXIS]
+    if self_cmp and strand == 0:
+        idxY, self_mode = idxX, "f"
+    elif self_cmp:
+        idxY, self_mode = build_index(cy_cmp, cfg.k), "r"
+    else:
+        idxY, self_mode = build_index(cy_cmp, cfg.k), None
+
+    dd = P((DATA_AXIS, SHARD_AXIS))
+    joined = jax.shard_map(
+        functools.partial(_window_join, win=win, cap_dev=cap_dev, cfg=cfg,
+                          self_mode=self_mode, y_len=cy_cmp.shape[0],
+                          n_shard=n_shard),
+        mesh=mesh,
+        in_specs=(P(), (P(), P(), P()), (P(), P())),
+        out_specs=(dd, dd, dd, dd),
+    )(cx_pad, idxY, (idxX[0], idxX[2]))
+    hpx, hpy, hvalid, totals = joined
+
+    # stage B: global thinning, then balanced extension
+    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
+    sh = NamedSharding(mesh, dd)
+    spx = jax.lax.with_sharding_constraint(spx, sh)
+    spy = jax.lax.with_sharding_constraint(spy, sh)
+    svalid = jax.lax.with_sharding_constraint(svalid, sh)
+
+    if cfg.extend_mode == "ungapped":
+        frag = extend_ungapped(
+            spx, spy, svalid, cx, cy_cmp,
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+        )
+    else:
+        from ..extend.banded_xla import extend_banded
+        frag = extend_banded(
+            spx, spy, svalid, cx, cy_cmp,
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+            band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+        )
+    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
+    return frag, svalid, totals
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "self_cmp", "mesh", "win",
+                                             "cap_dev"))
+def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
+                         mesh: Mesh, win: int, cap_dev: int):
+    cy_f = cx if self_cmp else cy
+    idxX = build_index(cx, cfg.k)
+
+    frags, valids, totals = [], [], []
+    if "f" in cfg.strands:
+        fr, va, th = _one_strand_sharded(cx, cx_pad, idxX, cy_f, 0,
+                                         self_cmp, cfg, mesh, win, cap_dev)
+        frags.append(fr), valids.append(va), totals.append(th)
+    if "r" in cfg.strands:
+        cy_r = revcomp_device(cy_f)
+        fr, va, th = _one_strand_sharded(cx, cx_pad, idxX, cy_r, 1,
+                                         self_cmp, cfg, mesh, win, cap_dev)
+        frags.append(fr), valids.append(va), totals.append(th)
+
+    frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
+    valid = jnp.concatenate(valids)
+    out, valid_out, n_frags = merge_accept(
+        frag, valid, cfg.min_len, cfg.min_identity, y_len=cy_f.shape[0]
+    )
+    return out, n_frags, jnp.stack(totals)
+
+
+def compare_sharded(
+    codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config,
+    mesh: Optional[Mesh] = None,
+) -> Dict[str, np.ndarray]:
+    """Multi-device equivalent of device.compare — same output, any mesh.
+
+    Raises on per-device hit-capacity overflow (the true per-(window,
+    shard) hit counts are returned by stage A, never truncated silently).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    n_shard = mesh.shape[SHARD_AXIS]
+    n_dev = n_data * n_shard
+    if cfg.hit_capacity % n_dev:
+        raise ValueError(f"hit_capacity {cfg.hit_capacity} must be divisible "
+                         f"by the {n_dev}-device mesh")
+    cap_dev = cfg.hit_capacity // n_dev
+
+    self_cmp = codesY is None
+    cx = np.asarray(codesX, np.uint8)
+    cy = cx if self_cmp else np.asarray(codesY, np.uint8)
+    if cx.shape[0] < cfg.k or cy.shape[0] < cfg.k:
+        frag = {f: np.zeros(0, np.int32) for f in orc.FRAG_FIELDS}
+        frag["group"] = np.zeros(0, np.int32)
+        return frag
+
+    n_pos = cx.shape[0] - cfg.k + 1
+    win = -(-n_pos // n_data)                   # ceil
+    pad_to = n_data * win + cfg.k - 1
+    cx_pad = np.full(pad_to, 4, np.uint8)       # N padding -> invalid k-mers
+    cx_pad[: cx.shape[0]] = cx
+
+    out, n_frags, totals = _compare_sharded_jit(
+        jnp.asarray(cx), jnp.asarray(cx_pad),
+        jnp.asarray(cx) if self_cmp else jnp.asarray(cy),
+        cfg, self_cmp, mesh, int(win), int(cap_dev))
+    totals = np.asarray(totals)
+    if (totals > cap_dev).any():
+        raise ValueError(
+            f"per-device hit capacity {cap_dev} overflow (max block "
+            f"{int(totals.max())}); raise Config.hit_capacity")
+    n = int(n_frags)
+    if n > 0 and n == out["xStart"].shape[0]:
+        raise ValueError("frag capacity overflow; raise Config.hit_capacity")
+    frag = {k: np.asarray(v[:n]) for k, v in out.items()}
+    frag["group"] = orc.cluster_families(frag, cfg, self_cmp)
+    return frag

@@ -1,0 +1,125 @@
+"""Fragment table CSV writer/reader (SURVEY.md §1 L5, §2.1 "Writers").
+
+The GECKO/repkiller ecosystem exchanges fragments as a CSV with a header
+of sequence metadata followed by one `Frag,...` row per fragment
+(SURVEY.md §2.1 "CSV loader" — the reference mount was empty, so the
+dialect below is GECKO-shaped but defined here as this framework's
+canonical format; the reader accepts it back, which gives the standalone
+"repkiller proper" entry point: cluster a pre-existing fragment table).
+
+Columns (1-based inclusive coordinates on the original strands; reverse-
+strand fragments have yStart > yEnd, the GECKO convention):
+
+  Frag,xStart,yStart,xEnd,yEnd,strand,block,length,score,ident,similarity,identity,seqX,seqY
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional, TextIO, Union
+
+import numpy as np
+
+FRAG_COLUMNS = (
+    "xStart", "yStart", "xEnd", "yEnd", "strand", "block", "length",
+    "score", "ident", "similarity", "identity", "seqX", "seqY",
+)
+
+
+def write_frags_csv(
+    frag: Dict[str, np.ndarray],
+    dst: Union[str, TextIO],
+    x_name: str = "seqX",
+    y_name: Optional[str] = None,
+    x_len: int = 0,
+    y_len: int = 0,
+    total_hits: int = 0,
+) -> None:
+    """Write the canonical fragment dict (+ optional "group" column as the
+    `block` field) to CSV. Coordinates are stored 1-based inclusive."""
+    close = False
+    if isinstance(dst, str):
+        f = open(dst, "w")
+        close = True
+    else:
+        f = dst
+    try:
+        n = frag["xStart"].shape[0]
+        self_cmp = y_name is None
+        f.write("All by-Identity Fragments (repkiller-tpu)\n")
+        f.write("SeqX name : %s\n" % x_name)
+        f.write("SeqX length : %d\n" % x_len)
+        f.write("SeqY name : %s\n" % (x_name if self_cmp else y_name))
+        f.write("SeqY length : %d\n" % (x_len if self_cmp else y_len))
+        f.write("Total hits (seeds) : %d\n" % total_hits)
+        f.write("Total fragments : %d\n" % n)
+        f.write("========================================================\n")
+        f.write("Type," + ",".join(FRAG_COLUMNS) + "\n")
+        group = frag.get("group")
+        score = frag["score"]
+        length = frag["length"]
+        idents = frag["idents"]
+        strand = frag["strand"]
+        xs, ys = frag["xStart"], frag["yStart"]
+        xe, ye = frag["xEnd"], frag["yEnd"]
+        for i in range(n):
+            ln = int(length[i])
+            idn = int(idents[i])
+            sim = 100.0 * idn / ln if ln else 0.0
+            f.write(
+                "Frag,%d,%d,%d,%d,%s,%d,%d,%d,%d,%.2f,%.2f,%d,%d\n"
+                % (
+                    int(xs[i]) + 1, int(ys[i]) + 1, int(xe[i]) + 1, int(ye[i]) + 1,
+                    "f" if int(strand[i]) == 0 else "r",
+                    int(group[i]) if group is not None else 0,
+                    ln, int(score[i]), idn, sim, sim, 0, 0 if self_cmp else 1,
+                )
+            )
+    finally:
+        if close:
+            f.close()
+
+
+def read_frags_csv(src: Union[str, TextIO, bytes]) -> Dict[str, np.ndarray]:
+    """Parse a fragments CSV back into the canonical fragment dict
+    (0-based inclusive coords; `block` column -> "group")."""
+    if isinstance(src, str) and "\n" not in src:
+        with open(src) as f:
+            text = f.read()
+    elif isinstance(src, bytes):
+        text = src.decode("ascii")
+    elif isinstance(src, str):
+        text = src
+    else:
+        text = src.read()
+
+    rows = []
+    meta = {}
+    for line in text.splitlines():
+        if line.startswith("Frag,"):
+            parts = line.split(",")
+            rows.append(parts[1:])
+        elif " : " in line:
+            key, _, val = line.partition(" : ")
+            meta[key.strip()] = val.strip()
+
+    n = len(rows)
+    out = {
+        "xStart": np.zeros(n, np.int32), "yStart": np.zeros(n, np.int32),
+        "xEnd": np.zeros(n, np.int32), "yEnd": np.zeros(n, np.int32),
+        "strand": np.zeros(n, np.int32), "length": np.zeros(n, np.int32),
+        "score": np.zeros(n, np.int32), "idents": np.zeros(n, np.int32),
+        "group": np.zeros(n, np.int32),
+    }
+    for i, r in enumerate(rows):
+        out["xStart"][i] = int(r[0]) - 1
+        out["yStart"][i] = int(r[1]) - 1
+        out["xEnd"][i] = int(r[2]) - 1
+        out["yEnd"][i] = int(r[3]) - 1
+        out["strand"][i] = 0 if r[4] == "f" else 1
+        out["group"][i] = int(r[5])
+        out["length"][i] = int(r[6])
+        out["score"][i] = int(r[7])
+        out["idents"][i] = int(r[8])
+    out["_meta"] = meta  # type: ignore[assignment]
+    return out

@@ -1,0 +1,43 @@
+"""On-device hit thinning (SURVEY.md §2.2 "Hit filtering", `filterHits`).
+
+Bucket-quantised diagonal thinning, matching oracle.pipeline.filter_hits:
+sort hits by (diag, px) — a total order, since (diag, px) determines py —
+and keep the first hit of every (diag, px // min_hit_dist) bucket. The
+sort doubles as the compaction that squeezes invalid slots to the tail,
+so the output is extension-ready: a dense, deterministic seed list.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def filter_hits(
+    hpx: jnp.ndarray, hpy: jnp.ndarray, hvalid: jnp.ndarray, min_hit_dist: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (px, py, valid, n_kept); kept hits dense at the front, sorted by
+    (diag, px)."""
+    diag = hpx - hpy                     # int32; genomes < 2^31 bp
+    invalid = (~hvalid).astype(jnp.int32)
+    inv_s, diag_s, px_s, py_s = jax.lax.sort(
+        (invalid, diag, hpx, hpy), num_keys=4
+    )
+    valid_s = inv_s == 0
+    bucket = px_s // jnp.int32(min_hit_dist)
+    first = jnp.ones_like(px_s, dtype=bool)
+    first = first.at[1:].set(
+        (diag_s[1:] != diag_s[:-1]) | (bucket[1:] != bucket[:-1])
+    )
+    keep = valid_s & first
+
+    # compact kept hits to the front, preserving (diag, px) order
+    inv2 = (~keep).astype(jnp.int32)
+    _, diag_c, px_c, py_c = jax.lax.sort((inv2, diag_s, px_s, py_s), num_keys=4)
+    n_kept = jnp.sum(keep.astype(jnp.int32))
+    valid_c = jnp.arange(px_c.shape[0], dtype=jnp.int32) < n_kept
+    px_c = jnp.where(valid_c, px_c, 0)
+    py_c = jnp.where(valid_c, py_c, 0)
+    return px_c, py_c, valid_c, n_kept
