@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.json metric): seed-extend Gbp/s per chip on
+an E. coli-scale self-comparison (config #1: k=12, banded extend, 1 chip).
+
+No genome data ships in this environment (zero egress), so the input is a
+seeded synthetic genome of the same scale with planted repeat families
+(IS-element-like: ~1 kb copies, some diverged, some inverted) — the same
+workload shape as E. coli K-12 self-comparison. The timed region is the
+full on-device pipeline (index build -> join -> thinning -> extension ->
+merge/accept) with device-resident inputs/outputs; host clustering and
+writers are excluded (they are output-size-bound, not genome-size-bound).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "Gbp/s", "vs_baseline": N}
+
+vs_baseline is against the self-established first-working-build number
+recorded in BASELINE.md (the reference records no published numbers —
+BASELINE.json "published": {}).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Self-established baseline (BASELINE.md): first working build, axon TPU v5e,
+# 1 chip, default bench config. None until first measured on the real chip.
+BASELINE_GBPS = None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1 << 22,
+                    help="genome length (bp); default 4.19 Mbp (E. coli scale)")
+    ap.add_argument("--mode", choices=("banded", "ungapped"), default="banded")
+    ap.add_argument("--k", type=int, default=12)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--strands", default="fr")
+    ap.add_argument("--hit-capacity", type=int, default=1 << 20)
+    ap.add_argument("--max-extend", type=int, default=2048)
+    ap.add_argument("--platform", default=None,
+                    help="override jax platform (e.g. cpu for a smoke run)")
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    from repkiller_tpu.config import Config
+    from repkiller_tpu.utils import synth
+    from repkiller_tpu import device
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    cfg = Config(k=args.k, strands=args.strands, extend_mode=args.mode,
+                 hit_capacity=args.hit_capacity, max_extend=args.max_extend)
+    # E.-coli-like repeat content: a handful of IS-element-scale families
+    fams = [(1024, 6, 0.02, 2), (768, 5, 0.05, 1), (512, 7, 0.0, 0),
+            (1536, 3, 0.03, 1), (256, 8, 0.08, 2)]
+    g = synth.plant(args.size, fams, seed=1234)
+    codes = jax.device_put(jnp.asarray(g.codes), dev)
+
+    t0 = time.perf_counter()
+    out, n_frags, totals = device._compare_jit(codes, codes, cfg, True)
+    jax.block_until_ready((out, n_frags, totals))
+    compile_s = time.perf_counter() - t0
+    print(f"# warmup (compile+run): {compile_s:.1f}s; fragments={int(n_frags)} "
+          f"hit totals={list(map(int, totals))}", file=sys.stderr)
+    assert int(n_frags) > 0, "bench produced no fragments — not a valid run"
+    assert max(map(int, totals)) <= cfg.hit_capacity, "hit capacity overflow"
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out, n_frags, totals = device._compare_jit(codes, codes, cfg, True)
+        jax.block_until_ready((out, n_frags, totals))
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    gbps = args.size / med / 1e9
+    print(f"# times={['%.3f' % t for t in times]} median={med:.3f}s",
+          file=sys.stderr)
+
+    vs = gbps / BASELINE_GBPS if BASELINE_GBPS else 1.0
+    print(json.dumps({
+        "metric": "seed_extend_gbps_per_chip",
+        "value": round(gbps, 6),
+        "unit": "Gbp/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

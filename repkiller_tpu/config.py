@@ -36,6 +36,9 @@ class Config:
     band: int = 16               # band half-width around the seed diagonal
     gap_open: int = 8            # positive penalty; a gap of length g costs
     gap_extend: int = 2          #   gap_open + g * gap_extend (Gotoh affine)
+    banded_impl: str = "auto"    # "auto" | "xla" | "pallas" — banded kernel
+                                 # choice; auto = pallas on TPU, xla elsewhere
+                                 # (both bit-identical; tests assert it)
 
     # ---- fragment acceptance ----
     min_len: int = 40            # min fragment length (bp on X)
@@ -63,6 +66,8 @@ class Config:
             raise ValueError(f"k must be in [1,16], got {self.k}")
         if self.extend_mode not in ("ungapped", "banded"):
             raise ValueError(f"unknown extend_mode {self.extend_mode!r}")
+        if self.banded_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown banded_impl {self.banded_impl!r}")
         if self.strands not in ("f", "r", "fr"):
             raise ValueError(f"strands must be 'f','r','fr', got {self.strands!r}")
         if self.gap_open < 0 or self.gap_extend < 0:

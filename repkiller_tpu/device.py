@@ -23,7 +23,7 @@ from .config import Config
 from .index.build import build_index
 from .seeds.join import join_hits
 from .seeds.filter import filter_hits
-from .extend.ungapped import extend_ungapped
+from .extend import extend_dispatch
 from .chain.merge import merge_accept
 from .oracle import pipeline as orc
 
@@ -53,27 +53,15 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
     )
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
 
-    if cfg.extend_mode == "ungapped":
-        frag = extend_ungapped(
-            spx, spy, svalid, cx, cy_cmp,
-            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
-            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
-        )
-    else:
-        from .extend.banded_xla import extend_banded
-        frag = extend_banded(
-            spx, spy, svalid, cx, cy_cmp,
-            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
-            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
-            band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-        )
+    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg)
     frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
     return frag, svalid, total_hits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))
-def _compare_jit(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
-    """cy is ignored (aliased to cx) when self_cmp."""
+def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
+    """Unjitted single-device pipeline; cy is ignored (aliased to cx) when
+    self_cmp. Exposed for __graft_entry__ (driver compile-check) — use
+    :func:`compare` or `_compare_jit` everywhere else."""
     cy_f = cx if self_cmp else cy
     idxX = build_index(cx, cfg.k)
 
@@ -93,6 +81,10 @@ def _compare_jit(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
     )
     total_hits = jnp.stack(totals)
     return out, n_frags, total_hits
+
+
+_compare_jit = functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))(
+    compare_fn)
 
 
 def compare(

@@ -42,7 +42,7 @@ from ..config import Config
 from ..index.build import build_index
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
-from ..extend.ungapped import extend_ungapped
+from ..extend import extend_dispatch
 from ..chain.merge import merge_accept
 from ..device import revcomp_device
 from ..oracle import pipeline as orc
@@ -102,20 +102,7 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     spy = jax.lax.with_sharding_constraint(spy, sh)
     svalid = jax.lax.with_sharding_constraint(svalid, sh)
 
-    if cfg.extend_mode == "ungapped":
-        frag = extend_ungapped(
-            spx, spy, svalid, cx, cy_cmp,
-            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
-            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
-        )
-    else:
-        from ..extend.banded_xla import extend_banded
-        frag = extend_banded(
-            spx, spy, svalid, cx, cy_cmp,
-            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
-            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
-            band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-        )
+    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg)
     frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
     return frag, svalid, totals
 

@@ -1,0 +1,298 @@
+"""Banded affine-gap (Gotoh) extension — Pallas TPU kernel (SURVEY.md §7 M2).
+
+Semantics are DEFINED by oracle/banded.py and re-expressed in
+extend/banded_xla.py; this kernel must match both bit-identically
+(tests/unit/test_banded_pallas.py). What changes is the machine mapping:
+
+- extend/banded_xla.py carries the whole (n_seeds, W) DP state through a
+  `lax.while_loop`, so every DP row round-trips ~9 state arrays through
+  HBM — the arithmetic is trivial, the HBM traffic is the cost.
+- here the state lives in VMEM/registers for a block of 128 seeds
+  (seeds on VPU lanes, band on sublanes) and one DP row costs a handful
+  of 8x128 vector ops; HBM sees only the pre-gathered base windows going
+  in and 4 result vectors coming out.
+- the row loop is a `lax.while_loop` per block: a block whose seeds all
+  died (x-drop) exits immediately, so trailing invalid capacity slots
+  cost one row each instead of max_extend.
+
+Band-on-sublanes layout: lane ``s`` is a seed, sublane ``o`` is band
+offset; the cell at DP row i, offset o is column j = i - band + o.
+Donors: diagonal at o (previous row), vertical at o+1 (previous row),
+horizontal at o-1 (current row — resolved by an argmax-last max-plus
+scan along sublanes, log2(W) shift/compare steps).
+
+The y base window advances one row per DP row, so instead of re-slicing
+the window each row the kernel keeps a rolling (W, 128) register and
+loads ONE new sublane row per row.
+
+Base windows are pre-gathered by XLA outside the kernel (codes ->
+(rows, chunk) uint8 with 255 = out-of-bounds, 4 = in-bounds N) in seed
+chunks under `lax.map`, so peak HBM footprint is per-chunk, not per-
+capacity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -(1 << 30)     # python int: becomes an immediate in-kernel,
+                         # NOT a captured traced constant (pallas forbids)
+SB = 128          # seeds per block (VPU lane count)
+
+
+def _up1(x, fill):
+    """result[o] = x[o+1]; last row = fill."""
+    return jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
+
+
+def _down(x, d, fill):
+    """result[o] = x[o-d]; first d rows = fill."""
+    return jnp.concatenate([jnp.full_like(x[:d], fill), x[:-d]], axis=0)
+
+
+def _scan_max_plus(w, wid, WP):
+    """Inclusive scan along sublanes of the max-plus combine with
+    argmax-LAST tie rule (later offset wins w-ties) — Hillis-Steele."""
+    d = 1
+    while d < WP:
+        w_sh = _down(w, d, NEG_INF)
+        id_sh = _down(wid, d, 0)
+        take = w_sh > w               # earlier donor wins only strictly
+        wid = jnp.where(take, id_sh, wid)
+        w = jnp.maximum(w, w_sh)
+        d *= 2
+    return w, wid
+
+
+def _make_kernel(E: int, W: int, WP: int, band: int,
+                 match: int, mismatch: int, x_drop: int,
+                 gap_open: int, gap_extend: int):
+    # all scalars stay python ints -> compile-time immediates in the kernel
+    open_, ext, xd = int(gap_open), int(gap_extend), int(x_drop)
+    m32, mm32 = int(match), int(mismatch)
+    b = band
+
+    LA = 32   # i8 VMEM sublane alignment: dynamic loads must be 32-aligned
+    WL = -(-WP // LA) * LA
+
+    def kernel(sx_ref, sy_ref, out_ref):
+        o_col = jax.lax.broadcasted_iota(jnp.int32, (WP, SB), 0)
+        in_band = o_col < W
+
+        def load_row(ref, idx):
+            """One dynamic sublane row of an i8 ref as (1, SB) int32.
+            Mosaic only proves alignment for LA-multiples, so load the
+            aligned 32-row block and select the row in registers."""
+            base = pl.multiple_of((idx // LA) * LA, LA)
+            blk = ref[pl.ds(base, LA), :].astype(jnp.int32)
+            sel = jax.lax.broadcasted_iota(jnp.int32, (LA, SB), 0) == (idx - base)
+            return jnp.sum(jnp.where(sel, blk, 0), axis=0, keepdims=True)
+
+        # ---- row 0 ----
+        # H(0, j=o-b): 0 at center; -(open + j*ext) right of center while
+        # every y-step 1..j is valid; NEG_INF elsewhere. Then x-drop vs 0.
+        ywin0 = sy_ref[0:WL, :].astype(jnp.int32)[:WP]  # ywin[o] = sy_pad[o]
+        # validity of y-step t+1 lives at sy_pad[b + t] = ywin0[b + t]
+        vstep = jnp.where(o_col >= b, (ywin0 < 5).astype(jnp.int32), 1)
+        # cumulative AND over rows (min-scan), then read at o (step j=o-b
+        # needs steps 1..j valid = rows b .. o-1 -> exclusive-from-b scan)
+        d = 1
+        vacc = vstep
+        while d < WP:
+            vacc = jnp.minimum(vacc, _down(vacc, d, 1))
+            d *= 2
+        ok_right = _down(vacc, 1, 1) == 1  # rows b..o-1 all valid
+        j0 = o_col - b
+        H = jnp.where(
+            j0 == 0, 0,
+            jnp.where((j0 > 0) & in_band & ok_right, -(open_ + j0 * ext),
+                      NEG_INF)).astype(jnp.int32)
+        H = jnp.where(H < -xd, NEG_INF, H)            # x-drop vs best0 = 0
+        Eg = jnp.full((WP, SB), NEG_INF, jnp.int32)
+        IH = jnp.zeros((WP, SB), jnp.int32)
+        IE = jnp.zeros((WP, SB), jnp.int32)
+        best = jnp.zeros((1, SB), jnp.int32)
+        bei = jnp.zeros((1, SB), jnp.int32)
+        bej = jnp.zeros((1, SB), jnp.int32)
+        bid = jnp.zeros((1, SB), jnp.int32)
+
+        def cond(state):
+            i, H = state[0], state[1]
+            return (i <= E) & jnp.any(H > NEG_INF)
+
+        def body(state):
+            i, H, Eg, IH, IE, best, bei, bej, bid, ywin = state
+            j_idx = i - b + o_col
+            ymask = (j_idx >= 1) & (j_idx <= E) & in_band
+            ychar = ywin                                   # ywin[o]=sy_pad[i-1+o]
+            yok = (ychar < 5) & ymask
+            xchar = load_row(sx_ref, i - 1)                        # (1, SB)
+            xok = xchar < 5
+            is_match = (ychar == xchar) & (ychar < 4) & (xchar < 4) & yok & xok
+            sub = jnp.where(is_match, m32, mm32)
+
+            Hu = _up1(H, NEG_INF)
+            IHu = _up1(IH, 0)
+            Eu = _up1(Eg, NEG_INF)
+            IEu = _up1(IE, 0)
+
+            M = jnp.where((H > NEG_INF) & xok & yok, H + sub, NEG_INF)
+            IM = IH + is_match.astype(jnp.int32)
+
+            Ec1 = jnp.where((Hu > NEG_INF) & xok, Hu - open_ - ext, NEG_INF)
+            Ec2 = jnp.where((Eu > NEG_INF) & xok, Eu - ext, NEG_INF)
+            Enew = jnp.maximum(Ec1, Ec2)
+            IEnew = jnp.where(Ec1 >= Ec2, IHu, IEu)
+
+            ME = jnp.maximum(M, Enew)
+            IME = jnp.where(M >= Enew, IM, IEnew)
+
+            w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
+            wmax, wid = _scan_max_plus(w, IME, WP)
+            wmax_ex = _down(wmax, 1, NEG_INF)
+            wid_ex = _down(wid, 1, 0)
+            F = jnp.where((wmax_ex > NEG_INF) & yok,
+                          wmax_ex - open_ - o_col * ext, NEG_INF)
+
+            Hn = jnp.maximum(ME, F)
+            IHn = jnp.where(ME >= F, IME, wid_ex)
+
+            # endpoint candidate: row max, tie -> smallest o (== smallest j)
+            g = jnp.max(Hn, axis=0, keepdims=True)                 # (1, SB)
+            is_mx = Hn == g
+            ob = jnp.min(jnp.where(is_mx, o_col, WP), axis=0,
+                         keepdims=True)
+            jb = i - b + ob
+            idb = jnp.sum(jnp.where(o_col == ob, IHn, 0), axis=0,
+                          keepdims=True)
+            better = (g > best) | ((g == best) & (i + jb < bei + bej))
+            bei = jnp.where(better, i, bei)
+            bej = jnp.where(better, jb, bej)
+            bid = jnp.where(better, idb, bid)
+            best = jnp.where(better, g, best)
+
+            prune = Hn < best - xd
+            Hn = jnp.where(prune, NEG_INF, Hn)
+            Enew = jnp.where(prune, NEG_INF, Enew)
+
+            ywin = _up1(ywin, 255)
+            ywin = jnp.where(o_col == WP - 1, load_row(sy_ref, i + WP - 1),
+                             ywin)
+            return (i + 1, Hn, Enew, IHn, IEnew, best, bei, bej, bid, ywin)
+
+        state = (jnp.int32(1), H, Eg, IH, IE, best, bei, bej, bid, ywin0)
+        state = jax.lax.while_loop(cond, body, state)
+        _, _, _, _, _, best, bei, bej, bid = state[:9]
+        out = jnp.concatenate(
+            [bei, bej, best, bid,
+             jnp.zeros((4, SB), jnp.int32)], axis=0)       # (8, SB)
+        out_ref[:, :] = out
+
+    return kernel
+
+
+def _gather_window(codes: jnp.ndarray, start: jnp.ndarray, step: int,
+                   rows: int, lead_pad: int, valid: jnp.ndarray) -> jnp.ndarray:
+    """(rows, n) uint8 window: codes[start + step*(t - lead_pad)];
+    255 where out of bounds or seed invalid, in-sequence N stays 4."""
+    L = codes.shape[0]
+    t = jax.lax.broadcasted_iota(jnp.int32, (rows, start.shape[0]), 0) - lead_pad
+    pos = start[None, :] + jnp.int32(step) * t
+    ok = (pos >= 0) & (pos < L) & valid[None, :]
+    ch = codes[jnp.clip(pos, 0, L - 1)]
+    return jnp.where(ok, ch, jnp.uint8(255))
+
+
+def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
+               match, mismatch, x_drop, max_extend, band,
+               gap_open, gap_extend, seed_chunk: int, interpret: bool):
+    """One direction for all seeds -> (ei, ej, gain, idents) int32[n]."""
+    n = px.shape[0]
+    E = max_extend
+    W = 2 * band + 1
+    WP = -(-W // 8) * 8
+    # uint8 VMEM tiling wants sublane counts in multiples of 32 — pad the
+    # gathered windows (extra rows are never read by the kernel)
+    ex_rows = -(-E // 32) * 32
+    sy_rows = -(-(E + WP) // 32) * 32
+    assert seed_chunk % SB == 0
+    n_pad = -(-n // seed_chunk) * seed_chunk
+
+    def pad(a, fill):
+        return jnp.concatenate(
+            [a, jnp.full((n_pad - n,), fill, a.dtype)]) if n_pad != n else a
+
+    pxp = pad(px, jnp.int32(0))
+    pyp = pad(py, jnp.int32(0))
+    vp = pad(seed_valid, False)
+
+    kern = _make_kernel(E, W, WP, band, match, mismatch, x_drop,
+                        gap_open, gap_extend)
+    grid = seed_chunk // SB
+    call = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ex_rows, SB), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sy_rows, SB), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, SB), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, seed_chunk), jnp.int32),
+        interpret=interpret,
+    )
+
+    def one_chunk(args):
+        cpx, cpy, cv = args
+        sx = _gather_window(cx, cpx + jnp.int32(base_off), step, ex_rows, 0, cv)
+        sy = _gather_window(cy, cpy + jnp.int32(base_off), step, sy_rows,
+                            band, cv)
+        return call(sx, sy)
+
+    outs = jax.lax.map(one_chunk, (pxp.reshape(-1, seed_chunk),
+                                   pyp.reshape(-1, seed_chunk),
+                                   vp.reshape(-1, seed_chunk)))
+    outs = jnp.moveaxis(outs, 1, 0).reshape(8, n_pad)[:, :n]
+    return outs[0], outs[1], outs[2], outs[3]
+
+
+def extend_banded_pallas(
+    px: jnp.ndarray, py: jnp.ndarray, seed_valid: jnp.ndarray,
+    cx: jnp.ndarray, cy: jnp.ndarray,
+    k: int, match: int, mismatch: int, x_drop: int, max_extend: int,
+    band: int, gap_open: int, gap_extend: int,
+    seed_chunk: int = 8192, interpret: bool | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
+
+    interpret=None auto-selects Pallas interpreter mode off-TPU so the CPU
+    test mesh can run the same code path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    args = (match, mismatch, x_drop, max_extend, band, gap_open, gap_extend,
+            seed_chunk, interpret)
+    rei, rej, rg, rid = _direction(px, py, seed_valid, cx, cy, k, +1, *args)
+    lei, lej, lg, lid = _direction(px, py, seed_valid, cx, cy, -1, -1, *args)
+    n = px.shape[0]
+    seed_score = jnp.int32(k * match)
+    frag = {
+        "xStart": px - lei,
+        "yStart": py - lej,
+        "xEnd": px + jnp.int32(k - 1) + rei,
+        "yEnd": py + jnp.int32(k - 1) + rej,
+        "strand": jnp.zeros(n, jnp.int32),
+        "score": seed_score + lg + rg,
+        "idents": jnp.int32(k) + lid + rid,
+    }
+    frag["length"] = frag["xEnd"] - frag["xStart"] + 1
+    frag = {f: jnp.where(seed_valid, v, 0) for f, v in frag.items()}
+    return frag

@@ -43,6 +43,22 @@ class SeqSet:
         return ri, pos - self.offsets[ri]
 
 
+def _scan_names(data: bytes) -> List[str]:
+    """Record names in read_fasta's order/semantics (headers only; an
+    implicit 'seq0' when sequence precedes the first header)."""
+    names: List[str] = []
+    for line in data.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(b">"):
+            names.append(line[1:].split()[0].decode("ascii")
+                         if len(line) > 1 else f"seq{len(names)}")
+        elif not names:
+            names.append("seq0")
+    return names
+
+
 def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
     """Parse FASTA from a path, bytes, or file object into a SeqSet."""
     if isinstance(src, str) and (os.path.exists(src) or os.path.sep in src):
@@ -60,6 +76,13 @@ def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
         if isinstance(data, str):
             data = data.encode("ascii")
         path = getattr(src, "name", "")
+
+    # fast path: native C++ parser (bit-identical; tests/unit/test_native_io)
+    from . import native
+    if native.available():
+        codes, offsets, lengths = native.parse_fasta(data)
+        return SeqSet(codes=codes, names=_scan_names(data),
+                      offsets=offsets, lengths=lengths, path=path)
 
     names: List[str] = []
     chunks: List[np.ndarray] = []

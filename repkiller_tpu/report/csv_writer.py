@@ -26,6 +26,21 @@ FRAG_COLUMNS = (
 )
 
 
+def _render_header(n: int, x_name: str, y_name: Optional[str],
+                   x_len: int, y_len: int, total_hits: int) -> str:
+    self_cmp = y_name is None
+    return (
+        "All by-Identity Fragments (repkiller-tpu)\n"
+        "SeqX name : %s\n" % x_name
+        + "SeqX length : %d\n" % x_len
+        + "SeqY name : %s\n" % (x_name if self_cmp else y_name)
+        + "SeqY length : %d\n" % (x_len if self_cmp else y_len)
+        + "Total hits (seeds) : %d\n" % total_hits
+        + "Total fragments : %d\n" % n
+        + "========================================================\n"
+        + "Type," + ",".join(FRAG_COLUMNS) + "\n")
+
+
 def write_frags_csv(
     frag: Dict[str, np.ndarray],
     dst: Union[str, TextIO],
@@ -36,7 +51,18 @@ def write_frags_csv(
     total_hits: int = 0,
 ) -> None:
     """Write the canonical fragment dict (+ optional "group" column as the
-    `block` field) to CSV. Coordinates are stored 1-based inclusive."""
+    `block` field) to CSV. Coordinates are stored 1-based inclusive.
+
+    Path destinations go through the native C++ writer when available
+    (byte-identical output — tests/unit/test_native_io.py)."""
+    n = int(frag["xStart"].shape[0])
+    self_cmp = y_name is None
+    header = _render_header(n, x_name, y_name, x_len, y_len, total_hits)
+    if isinstance(dst, str):
+        from ..io import native
+        if native.available():
+            native.write_frags_csv(dst, header, frag, self_cmp)
+            return
     close = False
     if isinstance(dst, str):
         f = open(dst, "w")
@@ -44,17 +70,7 @@ def write_frags_csv(
     else:
         f = dst
     try:
-        n = frag["xStart"].shape[0]
-        self_cmp = y_name is None
-        f.write("All by-Identity Fragments (repkiller-tpu)\n")
-        f.write("SeqX name : %s\n" % x_name)
-        f.write("SeqX length : %d\n" % x_len)
-        f.write("SeqY name : %s\n" % (x_name if self_cmp else y_name))
-        f.write("SeqY length : %d\n" % (x_len if self_cmp else y_len))
-        f.write("Total hits (seeds) : %d\n" % total_hits)
-        f.write("Total fragments : %d\n" % n)
-        f.write("========================================================\n")
-        f.write("Type," + ",".join(FRAG_COLUMNS) + "\n")
+        f.write(header)
         group = frag.get("group")
         score = frag["score"]
         length = frag["length"]

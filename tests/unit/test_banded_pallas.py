@@ -1,0 +1,94 @@
+"""Pallas banded-Gotoh kernel parity (SURVEY.md §7 M2): must match the
+numpy oracle and the XLA wavefront version bit-identically. Runs the
+kernel in Pallas interpret mode on the CPU test platform."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from repkiller_tpu.config import Config
+from repkiller_tpu.oracle import banded as obanded
+from repkiller_tpu.extend.banded_pallas import extend_banded_pallas
+from repkiller_tpu.utils import synth
+
+
+def _run_pallas(px, py, cx, cy, cfg, seed_chunk=256):
+    n = px.shape[0]
+    frag = extend_banded_pallas(
+        jnp.asarray(px), jnp.asarray(py), jnp.ones(n, bool),
+        jnp.asarray(cx), jnp.asarray(cy),
+        k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+        x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+        band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+        seed_chunk=seed_chunk, interpret=True,
+    )
+    return {k: np.asarray(v) for k, v in frag.items()}
+
+
+def _assert_equal(got, want):
+    for f in ("xStart", "yStart", "xEnd", "yEnd", "score", "idents", "length"):
+        assert np.array_equal(got[f], want[f]), (
+            f, got[f][:20], want[f][:20])
+
+
+@pytest.mark.parametrize("band,max_extend,xd", [(4, 64, 30), (8, 128, 40),
+                                                (16, 96, 24)])
+def test_random_seeds_vs_oracle(band, max_extend, xd):
+    cfg = Config(k=8, band=band, max_extend=max_extend, x_drop=xd,
+                 extend_mode="banded")
+    rng = np.random.default_rng(band * 7 + max_extend)
+    L = 1200
+    cx = rng.integers(0, 4, L, dtype=np.uint8)
+    cy = cx.copy()
+    # mutate y lightly so gapped paths appear
+    mut = rng.random(L) < 0.05
+    cy[mut] = (cy[mut] + rng.integers(1, 4, mut.sum())) % 4
+    # deletions: shift a block
+    cy[600:] = np.roll(cy[600:], 2)
+    n = 96
+    px = rng.integers(0, L - cfg.k, n).astype(np.int32)
+    py = np.clip(px + rng.integers(-3, 4, n), 0, L - cfg.k).astype(np.int32)
+    want = obanded.extend_banded(px, py, cx, cy, cfg)
+    got = _run_pallas(px, py, cx, cy, cfg)
+    _assert_equal(got, want)
+
+
+def test_ns_and_bounds():
+    cfg = Config(k=8, band=4, max_extend=64, x_drop=20, extend_mode="banded")
+    rng = np.random.default_rng(0)
+    cx = rng.integers(0, 4, 300, dtype=np.uint8)
+    cy = cx.copy()
+    cx[40:45] = 4          # N block mid-sequence
+    px = np.array([0, 10, 35, 290, 150], np.int32)   # edges + around the Ns
+    py = px.copy()
+    want = obanded.extend_banded(px, py, cx, cy, cfg)
+    got = _run_pallas(px, py, cx, cy, cfg)
+    _assert_equal(got, want)
+
+
+def test_invalid_seeds_zeroed():
+    cfg = Config(k=8, band=4, max_extend=64, extend_mode="banded")
+    cx = np.tile(np.arange(4, dtype=np.uint8), 64)
+    px = np.array([8, 16], np.int32)
+    frag = extend_banded_pallas(
+        jnp.asarray(px), jnp.asarray(px), jnp.asarray([True, False]),
+        jnp.asarray(cx), jnp.asarray(cx),
+        k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+        x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+        band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+        seed_chunk=128, interpret=True,
+    )
+    assert int(frag["score"][1]) == 0 and int(frag["length"][1]) == 0
+
+
+def test_full_pipeline_banded_pallas_matches_oracle():
+    from repkiller_tpu import device
+    from repkiller_tpu.oracle import pipeline as orc
+    cfg = Config(k=12, strands="fr", extend_mode="banded", band=4,
+                 banded_impl="pallas", hit_capacity=1 << 12, max_extend=128)
+    g = synth.plant(2000, [(100, 3, 0.04, 1)], seed=9)
+    want = orc.compare(g.codes, None, cfg.replace(banded_impl="xla"))
+    got = device.compare(g.codes, None, cfg)
+    for f in list(orc.FRAG_FIELDS) + ["group"]:
+        assert np.array_equal(got[f], want[f]), f
+    assert got["xStart"].shape[0] > 0
