@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""BASELINE config #3: pairwise E. coli strain comparison — two-genome
+seed index, cross-hits only (no self-hit filtering path). Strain B is
+derived from strain A by SNPs, indel blocks, and segment rearrangement,
+the divergence profile of real strain pairs."""
+
+from common import jax_setup, std_args, run_timed
+
+
+def make_strain_pair(size: int, seed: int):
+    import numpy as np
+    from repkiller_tpu.utils import synth
+    g = synth.plant(size, [(1024, 5, 0.02, 1), (512, 6, 0.0, 2)], seed=seed)
+    a = g.codes
+    rng = np.random.default_rng(seed + 1)
+    b = a.copy()
+    snp = rng.random(b.shape[0]) < 0.01
+    b[snp] = (b[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    # segment swap (rearrangement) + an insertion-like block
+    q = size // 4
+    b = np.concatenate([b[q : 2 * q], b[:q], b[2 * q :]])
+    ins = rng.integers(0, 4, 5000).astype(np.uint8)
+    b = np.concatenate([b[: size // 2], ins, b[size // 2 :]])
+    return a, b
+
+
+def main():
+    ap = std_args(__doc__, default_size=4_600_000)
+    args = ap.parse_args()
+    jax_setup(args.platform)
+    from repkiller_tpu.config import Config
+    from repkiller_tpu import device
+
+    size = int(args.size * args.scale)
+    a, b = make_strain_pair(size, seed=77)
+    cfg = Config(k=12, strands="fr", extend_mode="banded",
+                 hit_capacity=1 << 20, max_extend=2048)
+    run_timed("ecoli_pair_cross",
+              lambda: device.compare(a, b, cfg), args.runs,
+              a.shape[0] + b.shape[0])
+
+
+if __name__ == "__main__":
+    main()

@@ -104,14 +104,19 @@ def compare(
     repeat fragments + families.
 
     backend "device" runs the jitted TPU/XLA pipeline (device.compare),
-    "oracle" the pure-numpy reference — both produce bit-identical output
-    (tests/unit/test_device.py).
+    "sharded" the multi-device (data, shard)-mesh pipeline over every
+    visible device (dist.sharded.compare_sharded), "oracle" the
+    pure-numpy reference — all three produce bit-identical output
+    (tests/unit/test_device.py, tests/dist/test_sharded.py).
     """
     xs = _as_seqset(x)
     ys = _as_seqset(y) if y is not None else None
     if backend == "device":
         from . import device
         frag = device.compare(xs.codes, None if ys is None else ys.codes, cfg)
+    elif backend == "sharded":
+        from .dist.sharded import compare_sharded
+        frag = compare_sharded(xs.codes, None if ys is None else ys.codes, cfg)
     elif backend == "oracle":
         frag = orc.compare(xs.codes, None if ys is None else ys.codes, cfg)
     else:

@@ -61,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional second FASTA; omitted = self-comparison")
     pr.add_argument("-o", "--out-prefix", default="out",
                     help="output file prefix")
-    pr.add_argument("--backend", choices=("device", "oracle"), default="device")
+    pr.add_argument("--backend", choices=("device", "sharded", "oracle"),
+                    default="device")
     pr.add_argument("--mask", action="store_true",
                     help="also write <prefix>.masked.fasta")
     pr.add_argument("--profile", default=None, metavar="DIR",

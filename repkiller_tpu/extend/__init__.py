@@ -8,11 +8,22 @@ import jax
 
 from ..config import Config
 
+# Import the kernel modules EAGERLY. A lazy import inside extend_dispatch
+# would execute during jit tracing, and module-level jnp constants (e.g.
+# ungapped.NEG_INF) would then be created as leaked tracers — captured as
+# un-suppliable jaxpr consts, breaking every later trace in the process
+# ("Execution supplied 9 buffers but compiled program expected 11").
+from . import ungapped as _ungapped                  # noqa: E402
+from . import banded_xla as _banded_xla              # noqa: E402
+from . import banded_pallas as _banded_pallas        # noqa: E402
+from .ungapped import extend_ungapped                # noqa: F401
+from .banded_xla import extend_banded                # noqa: F401
+from .banded_pallas import extend_banded_pallas      # noqa: F401
+
 
 def extend_dispatch(spx, spy, svalid, cx, cy, cfg: Config):
     """Extend seeds -> fragment dict; picks the configured kernel."""
     if cfg.extend_mode == "ungapped":
-        from .ungapped import extend_ungapped
         return extend_ungapped(
             spx, spy, svalid, cx, cy,
             k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
@@ -25,7 +36,5 @@ def extend_dispatch(spx, spy, svalid, cx, cy, cfg: Config):
               x_drop=cfg.x_drop, max_extend=cfg.max_extend,
               band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
     if impl == "pallas":
-        from .banded_pallas import extend_banded_pallas
         return extend_banded_pallas(spx, spy, svalid, cx, cy, **kw)
-    from .banded_xla import extend_banded
     return extend_banded(spx, spy, svalid, cx, cy, **kw)
