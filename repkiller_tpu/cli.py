@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to DIR")
     pr.add_argument("--metrics-json", default=None,
                     help="append a JSONL metrics record here")
+    pr.add_argument("--stage-timing", action="store_true",
+                    help="also run the pipeline stage-by-stage and print "
+                         "per-stage JSONL timings (forward strand)")
     _add_config_flags(pr)
 
     pg = sub.add_parser("group", help="cluster an existing fragments CSV")
@@ -104,6 +107,12 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.mask:
         with open(prefix + ".masked.fasta", "w") as f:
             f.write(res.masked_fasta())
+
+    if args.stage_timing:
+        from .utils.metrics import profile_stages
+        profile_stages(res.x.codes,
+                       None if res.self_cmp else res.y.codes, cfg,
+                       emit=print)
 
     bp = res.x.total_length + (0 if res.self_cmp else res.y.total_length)
     metrics = {
