@@ -53,7 +53,7 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
     )
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
 
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg)
+    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
     frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
     return frag, svalid, total_hits
 

@@ -102,7 +102,7 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     spy = jax.lax.with_sharding_constraint(spy, sh)
     svalid = jax.lax.with_sharding_constraint(svalid, sh)
 
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg)
+    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
     frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
     return frag, svalid, totals
 

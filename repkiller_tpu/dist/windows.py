@@ -60,7 +60,7 @@ def _window_step(cx_pad, cx, cy_cmp, idxY, idxX_occ, w0, cfg: Config,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
         self_mode=self_mode, y_len=cy_cmp.shape[0], occ_idx=idxX_occ)
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hv, cfg.min_hit_dist)
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg)
+    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
     frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
     return frag, svalid, n_seeds, total
 

@@ -21,7 +21,7 @@ from .banded_xla import extend_banded                # noqa: F401
 from .banded_pallas import extend_banded_pallas      # noqa: F401
 
 
-def extend_dispatch(spx, spy, svalid, cx, cy, cfg: Config):
+def extend_dispatch(spx, spy, svalid, cx, cy, cfg: Config, n_live=None):
     """Extend seeds -> fragment dict; picks the configured kernel."""
     if cfg.extend_mode == "ungapped":
         return extend_ungapped(
@@ -36,5 +36,6 @@ def extend_dispatch(spx, spy, svalid, cx, cy, cfg: Config):
               x_drop=cfg.x_drop, max_extend=cfg.max_extend,
               band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
     if impl == "pallas":
-        return extend_banded_pallas(spx, spy, svalid, cx, cy, **kw)
+        return extend_banded_pallas(spx, spy, svalid, cx, cy, n_live=n_live,
+                                    **kw)
     return extend_banded(spx, spy, svalid, cx, cy, **kw)

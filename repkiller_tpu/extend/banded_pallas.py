@@ -211,8 +211,15 @@ def _gather_window(codes: jnp.ndarray, start: jnp.ndarray, step: int,
 
 def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
                match, mismatch, x_drop, max_extend, band,
-               gap_open, gap_extend, seed_chunk: int, interpret: bool):
-    """One direction for all seeds -> (ei, ej, gain, idents) int32[n]."""
+               gap_open, gap_extend, seed_chunk: int, interpret: bool,
+               n_live=None):
+    """One direction for all seeds -> (ei, ej, gain, idents) int32[n].
+
+    n_live (traced scalar): true count of live seeds, dense at the front
+    (filter_hits compacts them). Chunks entirely past n_live skip BOTH the
+    XLA window gather and the kernel launch — extension cost tracks the
+    real seed count, not the static capacity.
+    """
     n = px.shape[0]
     E = max_extend
     W = 2 * band + 1
@@ -250,16 +257,32 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
         interpret=interpret,
     )
 
-    def one_chunk(args):
-        cpx, cpy, cv = args
+    def one_chunk(cpx, cpy, cv):
         sx = _gather_window(cx, cpx + jnp.int32(base_off), step, ex_rows, 0, cv)
         sy = _gather_window(cy, cpy + jnp.int32(base_off), step, sy_rows,
                             band, cv)
         return call(sx, sy)
 
-    outs = jax.lax.map(one_chunk, (pxp.reshape(-1, seed_chunk),
-                                   pyp.reshape(-1, seed_chunk),
-                                   vp.reshape(-1, seed_chunk)))
+    n_chunks = n_pad // seed_chunk
+    cpx = pxp.reshape(n_chunks, seed_chunk)
+    cpy = pyp.reshape(n_chunks, seed_chunk)
+    cv = vp.reshape(n_chunks, seed_chunk)
+    if n_live is None:
+        live_chunks = jnp.int32(n_chunks)
+    else:
+        live_chunks = jnp.minimum(
+            (n_live.astype(jnp.int32) + seed_chunk - 1) // seed_chunk,
+            n_chunks)
+
+    def body(state):
+        c, out = state
+        res = one_chunk(cpx[c], cpy[c], cv[c])         # (8, seed_chunk)
+        out = jax.lax.dynamic_update_slice(out, res[None], (c, 0, 0))
+        return c + 1, out
+
+    init = (jnp.int32(0),
+            jnp.zeros((n_chunks, 8, seed_chunk), jnp.int32))
+    _, outs = jax.lax.while_loop(lambda s: s[0] < live_chunks, body, init)
     outs = jnp.moveaxis(outs, 1, 0).reshape(8, n_pad)[:, :n]
     return outs[0], outs[1], outs[2], outs[3]
 
@@ -270,6 +293,7 @@ def extend_banded_pallas(
     k: int, match: int, mismatch: int, x_drop: int, max_extend: int,
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
+    n_live=None,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
 
@@ -279,7 +303,7 @@ def extend_banded_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     args = (match, mismatch, x_drop, max_extend, band, gap_open, gap_extend,
-            seed_chunk, interpret)
+            seed_chunk, interpret, n_live)
     rei, rej, rg, rid = _direction(px, py, seed_valid, cx, cy, k, +1, *args)
     lei, lej, lg, lid = _direction(px, py, seed_valid, cx, cy, -1, -1, *args)
     n = px.shape[0]
