@@ -67,10 +67,13 @@ void walk(const char* buf, int64_t n, FH&& on_header, FS&& on_seq) {
 
 extern "C" {
 
-// Pass 1: sizes. Returns total code length INCLUDING one N spacer between
-// consecutive records; *n_records = record count (an implicit unnamed
-// record is counted when sequence precedes any header).
-int64_t rk_fasta_sizes(const char* buf, int64_t n, int64_t* n_records) {
+// Pass 1: sizes. Returns total code length INCLUDING `spacer` N codes
+// between consecutive records; *n_records = record count (an implicit
+// unnamed record is counted when sequence precedes any header). The
+// spacer must be long enough that x-drop kills any extension crossing it
+// (io/fasta.py picks it from the scoring config).
+int64_t rk_fasta_sizes(const char* buf, int64_t n, int64_t spacer,
+                       int64_t* n_records) {
     int64_t records = 0, seq_bytes = 0;
     bool any = false;
     walk(buf, n,
@@ -80,17 +83,19 @@ int64_t rk_fasta_sizes(const char* buf, int64_t n, int64_t* n_records) {
              seq_bytes += (int64_t)(b - a);
          });
     *n_records = records;
-    return records ? seq_bytes + (records - 1) : 0;
+    return records ? seq_bytes + (records - 1) * spacer : 0;
 }
 
-// Pass 2: fill codes (spacer code 4 between records), per-record offsets
-// and lengths (sized by pass 1). Returns the number of records written.
-int64_t rk_fasta_parse(const char* buf, int64_t n, uint8_t* codes,
-                       int64_t* offsets, int64_t* lengths) {
+// Pass 2: fill codes (`spacer` N codes between records), per-record
+// offsets and lengths (sized by pass 1). Returns records written.
+int64_t rk_fasta_parse(const char* buf, int64_t n, int64_t spacer,
+                       uint8_t* codes, int64_t* offsets, int64_t* lengths) {
     int64_t pos = 0, rec = -1;
     auto open_record = [&]() {
-        if (rec >= 0) { lengths[rec] = pos - offsets[rec]; }
-        if (rec >= 0 || pos > 0) { codes[pos++] = 4; }  // spacer (not before 1st)
+        if (rec >= 0) {
+            lengths[rec] = pos - offsets[rec];
+            for (int64_t s = 0; s < spacer; s++) codes[pos++] = 4;
+        }
         rec++;
         offsets[rec] = pos;
     };

@@ -75,6 +75,7 @@ class Result:
             self.frag, self.cfg, dst, self.self_cmp,
             x_name=self.x.names[0] if self.x.names else "seqX",
             y_name=ys.names[0] if ys.names else "seqY",
+            x_seqs=self.x, y_seqs=ys,
         )
 
     def write_family_summary(self, dst) -> Dict[str, np.ndarray]:
@@ -86,12 +87,21 @@ class Result:
         return report_iv.mask_codes(src, iv.get(space))
 
     def masked_fasta(self, space: int = 0) -> str:
+        """Hard-masked FASTA — one record per input record (multi-record
+        SeqSets round-trip; inter-record N spacers are not emitted)."""
         seqs = self.x if space == 0 else (self.y or self.x)
         masked = self.masked_codes(space)
-        name = seqs.names[0] if seqs.names else "seq0"
-        body = codec.decode(masked)
-        lines = [body[i : i + 70] for i in range(0, len(body), 70)]
-        return ">%s masked\n%s\n" % (name, "\n".join(lines))
+        out = []
+        n_rec = len(seqs.names) if seqs.names else 1
+        for r in range(n_rec):
+            o = int(seqs.offsets[r]) if seqs.offsets is not None else 0
+            ln = int(seqs.lengths[r]) if seqs.lengths is not None \
+                else masked.shape[0]
+            body = codec.decode(masked[o : o + ln])
+            name = seqs.names[r] if seqs.names else "seq0"
+            lines = [body[i : i + 70] for i in range(0, len(body), 70)]
+            out.append(">%s masked\n%s\n" % (name, "\n".join(lines)))
+        return "".join(out)
 
 
 def compare(
@@ -132,6 +142,7 @@ def group_fragments(
     fragment dict with a fresh "group" column (canonical order)."""
     frag = csv_writer.read_frags_csv(frags_csv)
     frag.pop("_meta", None)
+    from .families.cluster import cluster_families
     frag = orc.canonical_sort(frag)
-    frag["group"] = orc.cluster_families(frag, cfg, self_cmp)
+    frag["group"] = cluster_families(frag, cfg, self_cmp)
     return frag

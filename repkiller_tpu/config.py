@@ -47,7 +47,8 @@ class Config:
     # ---- repeat-family clustering (repkiller proper, SURVEY.md §2.1) ----
     proximity: int = 32          # intervals within this many bp are "overlapping"
     len_ratio: float = 0.5       # min(short/long) fragment-length ratio to link; 0 = off
-    min_family: int = 2          # families with fewer fragments are not repeats
+    min_family: int = 2          # families with fewer repeat COPIES are not
+                                 # repeats (a self-comparison fragment = 2 copies)
 
     # ---- strands ----
     strands: str = "f"           # "f", "r", or "fr"

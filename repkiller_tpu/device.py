@@ -118,5 +118,6 @@ def compare(
             "raise Config.hit_capacity"
         )
     frag = {k: np.asarray(v[:n]) for k, v in out.items()}
-    frag["group"] = orc.cluster_families(frag, cfg, self_cmp)
+    from .families.cluster import cluster_families
+    frag["group"] = cluster_families(frag, cfg, self_cmp)
     return frag

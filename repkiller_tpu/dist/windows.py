@@ -183,5 +183,6 @@ def compare_streamed(
     if n > 0 and n == out["xStart"].shape[0]:
         raise ValueError("frag capacity overflow in final merge")
     frag = {k: np.asarray(v[:n]) for k, v in out.items()}
-    frag["group"] = orc.cluster_families(frag, cfg, self_cmp)
+    from ..families.cluster import cluster_families
+    frag["group"] = cluster_families(frag, cfg, self_cmp)
     return frag

@@ -59,8 +59,18 @@ def _scan_names(data: bytes) -> List[str]:
     return names
 
 
-def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
-    """Parse FASTA from a path, bytes, or file object into a SeqSet."""
+DEFAULT_SPACER = 32   # N codes between records: long enough that x-drop
+                      # kills any extension trying to bridge two records
+                      # (default scoring: crossing costs >= min(32*|mismatch|,
+                      # gap_open + 32*gap_extend) >> x_drop)
+
+
+def read_fasta(src: Union[str, bytes, io.IOBase],
+               spacer: int = DEFAULT_SPACER) -> SeqSet:
+    """Parse FASTA from a path, bytes, or file object into a SeqSet.
+
+    Records are concatenated with `spacer` N codes between them so k-mers
+    and extensions never bridge records."""
     if isinstance(src, str) and (os.path.exists(src) or os.path.sep in src):
         with open(src, "rb") as f:
             data = f.read()
@@ -80,7 +90,7 @@ def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
     # fast path: native C++ parser (bit-identical; tests/unit/test_native_io)
     from . import native
     if native.available():
-        codes, offsets, lengths = native.parse_fasta(data)
+        codes, offsets, lengths = native.parse_fasta(data, spacer)
         return SeqSet(codes=codes, names=_scan_names(data),
                       offsets=offsets, lengths=lengths, path=path)
 
@@ -89,7 +99,7 @@ def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
     offsets: List[int] = []
     lengths: List[int] = []
     pos = 0
-    spacer = np.array([codec.NCODE], dtype=np.uint8)
+    spacer_arr = np.full(spacer, codec.NCODE, dtype=np.uint8)
 
     cur: List[bytes] = []
 
@@ -100,8 +110,8 @@ def read_fasta(src: Union[str, bytes, io.IOBase]) -> SeqSet:
         seq = b"".join(cur)
         cod = codec.encode(seq)
         if chunks:
-            chunks.append(spacer)
-            pos += 1
+            chunks.append(spacer_arr)
+            pos += spacer
         offsets.append(pos)
         lengths.append(len(cod))
         chunks.append(cod)

@@ -45,7 +45,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and os.path.exists(_SRC):
+        stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+        if (not os.path.exists(_SO) or stale) and os.path.exists(_SRC):
             try:
                 subprocess.run(
                     ["g++", "-O3", "-fPIC", "-shared", "-pthread",
@@ -60,10 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         lib.rk_fasta_sizes.restype = _i64
-        lib.rk_fasta_sizes.argtypes = [ctypes.c_char_p, _i64,
+        lib.rk_fasta_sizes.argtypes = [ctypes.c_char_p, _i64, _i64,
                                        ctypes.POINTER(_i64)]
         lib.rk_fasta_parse.restype = _i64
-        lib.rk_fasta_parse.argtypes = [ctypes.c_char_p, _i64, _p_u8,
+        lib.rk_fasta_parse.argtypes = [ctypes.c_char_p, _i64, _i64, _p_u8,
                                        _p_i64, _p_i64]
         lib.rk_pack_2bit.restype = None
         lib.rk_pack_2bit.argtypes = [_p_u8, _i64, _p_u32, _p_u32,
@@ -83,19 +85,20 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_fasta(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def parse_fasta(data: bytes, spacer: int = 1
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """FASTA bytes -> (codes uint8 with N spacers, offsets i64, lengths i64).
     Matches io.fasta.read_fasta bit-identically (names parsed separately)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO library unavailable")
     nrec = _i64(0)
-    total = lib.rk_fasta_sizes(data, len(data), ctypes.byref(nrec))
+    total = lib.rk_fasta_sizes(data, len(data), spacer, ctypes.byref(nrec))
     nrec = nrec.value
     codes = np.empty(total, np.uint8)
     offsets = np.empty(max(nrec, 1), np.int64)
     lengths = np.empty(max(nrec, 1), np.int64)
-    got = lib.rk_fasta_parse(data, len(data), codes, offsets, lengths)
+    got = lib.rk_fasta_parse(data, len(data), spacer, codes, offsets, lengths)
     assert got == nrec, (got, nrec)
     return codes, offsets[:nrec], lengths[:nrec]
 

@@ -404,7 +404,13 @@ def family_stats(frag: Dict[str, np.ndarray], group: np.ndarray) -> Dict[str, np
 def repeat_intervals(frag: Dict[str, np.ndarray], group: np.ndarray, cfg: Config,
                      self_cmp: bool) -> Dict[int, np.ndarray]:
     """Masked repeat intervals: union (pure-overlap merge) of the intervals of
-    all fragments whose family has >= cfg.min_family members.
+    all fragments whose family has >= cfg.min_family repeat COPIES.
+
+    Copies, not fragments: in a self-comparison each fragment certifies
+    TWO copies (its x and y intervals both live in the genome), so a
+    single-fragment family is already a 2-copy repeat and passes the
+    default min_family=2. Cross-comparison fragments contribute one copy
+    per genome, so there the count is the fragment count.
 
     Returns {space: int -> int64[n,2] (start, end inclusive)} per coordinate
     space (0 = X, 1 = Y for cross-comparisons).
@@ -415,7 +421,8 @@ def repeat_intervals(frag: Dict[str, np.ndarray], group: np.ndarray, cfg: Config
         return out
     fams, inv = np.unique(group, return_inverse=True)
     sizes = np.bincount(inv, minlength=fams.shape[0])
-    is_rep = sizes[inv] >= cfg.min_family
+    copies = (2 if self_cmp else 1) * sizes
+    is_rep = copies[inv] >= cfg.min_family
     sel = {k: v[is_rep] for k, v in frag.items()}
     space, start, end, _ = _intervals_of(sel, self_cmp)
     for sp in np.unique(space):

@@ -17,6 +17,22 @@ from ..config import Config
 from ..oracle import pipeline as orc
 
 
+def _emit_record_local(f, seqs, s: int, e: int) -> None:
+    """Write interval [s, e] (inclusive, concatenated coords) as one BED
+    row per overlapped record, record-local half-open coords. Parts that
+    fall on inter-record N spacers are dropped."""
+    offs = np.asarray(seqs.offsets)
+    lens = np.asarray(seqs.lengths)
+    r0 = max(0, int(np.searchsorted(offs, s, side="right")) - 1)
+    r1 = max(0, int(np.searchsorted(offs, e, side="right")) - 1)
+    for r in range(r0, r1 + 1):
+        rs = max(s, int(offs[r]))
+        re = min(e, int(offs[r]) + int(lens[r]) - 1)
+        if rs <= re:
+            f.write("%s\t%d\t%d\n" % (seqs.names[r], rs - int(offs[r]),
+                                      re - int(offs[r]) + 1))
+
+
 def write_intervals_bed(
     frag: Dict[str, np.ndarray],
     cfg: Config,
@@ -24,9 +40,15 @@ def write_intervals_bed(
     self_cmp: bool,
     x_name: str = "seqX",
     y_name: str = "seqY",
+    x_seqs=None,
+    y_seqs=None,
 ) -> Dict[int, np.ndarray]:
     """Merge repeat-family intervals and write BED; returns the intervals
-    per coordinate space (0 = X, 1 = Y for cross-comparisons)."""
+    per coordinate space (0 = X, 1 = Y for cross-comparisons).
+
+    With x_seqs/y_seqs (SeqSet), rows are per-record with record-local
+    coordinates — the multi-record masking path (e.g. chr2L+chr2R in one
+    FASTA); otherwise one name per space with concatenated coordinates."""
     iv = orc.repeat_intervals(frag, frag["group"], cfg, self_cmp)
     close = False
     if isinstance(dst, str):
@@ -36,10 +58,13 @@ def write_intervals_bed(
         f = dst
     try:
         for space in sorted(iv):
+            seqs = x_seqs if space == 0 else y_seqs
             name = x_name if space == 0 else y_name
-            arr = iv[space]
-            for s, e in arr:
-                f.write("%s\t%d\t%d\n" % (name, int(s), int(e) + 1))
+            for s, e in iv[space]:
+                if seqs is not None and seqs.offsets is not None:
+                    _emit_record_local(f, seqs, int(s), int(e))
+                else:
+                    f.write("%s\t%d\t%d\n" % (name, int(s), int(e) + 1))
     finally:
         if close:
             f.close()

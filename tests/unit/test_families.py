@@ -1,0 +1,58 @@
+"""Vectorized clustering vs oracle union-find sweep — exact equality
+(SURVEY.md §7 M3) on random fragment tables and planted structures."""
+
+import numpy as np
+import pytest
+
+from repkiller_tpu.config import Config
+from repkiller_tpu.families.cluster import cluster_families
+from repkiller_tpu.oracle import pipeline as orc
+
+
+def _random_frags(n, seed, L=20000):
+    rng = np.random.default_rng(seed)
+    ln = rng.integers(40, 400, n).astype(np.int32)
+    xs = rng.integers(0, L, n).astype(np.int32)
+    ys = rng.integers(0, L, n).astype(np.int32)
+    frag = {
+        "xStart": xs, "yStart": ys,
+        "xEnd": (xs + ln - 1).astype(np.int32),
+        "yEnd": (ys + ln - 1).astype(np.int32),
+        "strand": rng.integers(0, 2, n).astype(np.int32),
+        "length": ln,
+        "score": rng.integers(0, 2000, n).astype(np.int32),
+        "idents": (ln * 0.9).astype(np.int32),
+    }
+    return orc.canonical_sort(frag)
+
+
+@pytest.mark.parametrize("seed,n,self_cmp", [
+    (1, 50, True), (2, 200, True), (3, 500, False),
+    (4, 1000, True), (5, 0, True), (6, 1, True),
+])
+def test_matches_oracle(seed, n, self_cmp):
+    frag = _random_frags(n, seed)
+    for cfg in (Config(), Config(proximity=100, len_ratio=0.0),
+                Config(proximity=5, len_ratio=0.9)):
+        want = orc.cluster_families(frag, cfg, self_cmp)
+        got = cluster_families(frag, cfg, self_cmp)
+        assert np.array_equal(got, want), (got, want)
+
+
+def test_dense_pileup():
+    # many overlapping intervals at one locus (quadratic-ish edge count)
+    n = 300
+    frag = {
+        "xStart": np.arange(n, dtype=np.int32),
+        "yStart": np.arange(n, dtype=np.int32) + 5,
+        "strand": np.zeros(n, np.int32),
+        "length": np.full(n, 100, np.int32),
+        "score": np.full(n, 400, np.int32),
+        "idents": np.full(n, 95, np.int32),
+    }
+    frag["xEnd"] = frag["xStart"] + 99
+    frag["yEnd"] = frag["yStart"] + 99
+    frag = orc.canonical_sort(frag)
+    cfg = Config()
+    assert np.array_equal(cluster_families(frag, cfg, True),
+                          orc.cluster_families(frag, cfg, True))

@@ -1,0 +1,69 @@
+"""Multi-record capabilities (BASELINE config #4 shape: chr2L+chr2R in one
+FASTA): record-aware BED output, per-record masked FASTA, and no
+fragment bridging across the inter-record spacer."""
+
+import io
+
+import numpy as np
+
+from repkiller_tpu import Config, api
+from repkiller_tpu.io import codec, fasta
+from repkiller_tpu.utils import synth
+
+CFG = Config(k=12, strands="f", hit_capacity=1 << 13, max_extend=256,
+             min_len=40)
+
+
+def _two_record_fasta():
+    rng = np.random.default_rng(8)
+    rep = rng.integers(0, 4, 300, dtype=np.uint8)
+    a = rng.integers(0, 4, 2000, dtype=np.uint8)
+    b = rng.integers(0, 4, 1500, dtype=np.uint8)
+    a[400:700] = rep
+    b[800:1100] = rep            # shared repeat across the two records
+    return (">chr2L\n" + codec.decode(a) + "\n>chr2R\n" + codec.decode(b)
+            + "\n"), a, b
+
+
+def test_record_local_bed_and_mask():
+    text, a, b = _two_record_fasta()
+    res = api.compare(text, None, CFG, backend="oracle")
+    assert res.n_fragments > 0
+    buf = io.StringIO()
+    res.write_intervals(buf)
+    rows = [l.split("\t") for l in buf.getvalue().strip().splitlines()]
+    names = {r[0] for r in rows}
+    assert names == {"chr2L", "chr2R"}
+    for name, s, e in rows:
+        s, e = int(s), int(e)
+        L = 2000 if name == "chr2L" else 1500
+        assert 0 <= s < e <= L          # record-local, in bounds
+
+    masked = res.masked_fasta()
+    assert masked.count(">") == 2
+    recs = masked.split(">")[1:]
+    assert recs[0].startswith("chr2L") and recs[1].startswith("chr2R")
+    # the planted copy regions are masked in both records
+    body0 = "".join(recs[0].splitlines()[1:])
+    body1 = "".join(recs[1].splitlines()[1:])
+    assert set(body0[400:700]) == {"N"}
+    assert set(body1[800:1100]) == {"N"}
+    assert len(body0) == 2000 and len(body1) == 1500
+
+
+def test_no_fragment_bridges_spacer():
+    # two records that are pure copies of each other: without the wide
+    # spacer an extension could run across the boundary
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 4, 800, dtype=np.uint8)
+    text = ">r1\n" + codec.decode(a) + "\n>r2\n" + codec.decode(a) + "\n"
+    ss = fasta.read_fasta(text)
+    res = api.compare(ss, None, CFG, backend="oracle")
+    offs, lens = np.asarray(ss.offsets), np.asarray(ss.lengths)
+    for i in range(res.n_fragments):
+        for s, e in ((res.frag["xStart"][i], res.frag["xEnd"][i]),
+                     (min(res.frag["yStart"][i], res.frag["yEnd"][i]),
+                      max(res.frag["yStart"][i], res.frag["yEnd"][i]))):
+            r0 = np.searchsorted(offs, s, side="right") - 1
+            r1 = np.searchsorted(offs, e, side="right") - 1
+            assert r0 == r1, "fragment bridges the inter-record spacer"

@@ -72,8 +72,13 @@ def test_fasta_parse_matches_python(i):
     assert np.array_equal(offs, poffs)
     assert np.array_equal(lens, plens)
     # and the public read_fasta (which routes through native) agrees
-    ss = fasta.read_fasta(data)
+    ss = fasta.read_fasta(data, spacer=1)
     assert np.array_equal(ss.codes, pcodes)
+    # wider spacers: native and python paths still agree on structure
+    codes32, offs32, lens32 = native.parse_fasta(data, 32)
+    assert np.array_equal(lens32, plens)
+    if len(poffs) > 1:
+        assert offs32[1] - (poffs[1] - 1) == 32  # 32 Ns replaced the 1
 
 
 def test_pack_2bit_matches_codec():
