@@ -1,0 +1,69 @@
+"""CLI end-to-end smoke tests (SURVEY.md §1 L6)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from repkiller_tpu import cli
+from repkiller_tpu.io import codec
+from repkiller_tpu.utils import synth
+
+
+@pytest.fixture(scope="module")
+def fasta_path(tmp_path_factory):
+    g = synth.plant(6000, [(100, 3, 0.02, 0)], seed=5)
+    p = tmp_path_factory.mktemp("cli") / "g.fa"
+    p.write_text(">t\n" + codec.decode(g.codes) + "\n")
+    return str(p)
+
+
+def test_run_outputs(fasta_path, tmp_path, capsys):
+    prefix = str(tmp_path / "out")
+    rc = cli.main(["run", fasta_path, "-o", prefix, "--backend", "oracle",
+                   "--mask", "--hit-capacity", str(1 << 13),
+                   "--max-extend", "256",
+                   "--metrics-json", str(tmp_path / "m.jsonl")])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["fragments"] > 0 and rec["bp"] == 6000
+    for suffix in (".frags.csv", ".families.csv", ".repeats.bed",
+                   ".masked.fasta"):
+        assert os.path.exists(prefix + suffix), suffix
+    assert os.path.exists(tmp_path / "m.jsonl")
+    bed = open(prefix + ".repeats.bed").read()
+    assert bed.startswith("t\t")
+    masked = open(prefix + ".masked.fasta").read()
+    assert masked.startswith(">t masked")
+
+
+def test_group_roundtrip(fasta_path, tmp_path, capsys):
+    prefix = str(tmp_path / "o")
+    assert cli.main(["run", fasta_path, "-o", prefix, "--backend", "oracle",
+                     "--hit-capacity", str(1 << 13),
+                     "--max-extend", "256"]) == 0
+    capsys.readouterr()
+    g_prefix = str(tmp_path / "g")
+    rc = cli.main(["group", prefix + ".frags.csv", "-o", g_prefix])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["stage"] == "group" and rec["fragments"] > 0
+    assert os.path.exists(g_prefix + ".frags.csv")
+
+    # grouping a re-read CSV reproduces the pipeline's own families
+    from repkiller_tpu import api
+    got = api.group_fragments(prefix + ".frags.csv")
+    ref = open(prefix + ".frags.csv").read()
+    assert got["xStart"].shape[0] == ref.count("\nFrag,") + ref.startswith("Frag,")
+
+
+def test_stage_timing_flag(fasta_path, tmp_path, capsys):
+    rc = cli.main(["run", fasta_path, "-o", str(tmp_path / "s"),
+                   "--backend", "oracle", "--stage-timing",
+                   "--hit-capacity", str(1 << 13), "--max-extend", "256"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stages = [json.loads(l)["stage"] for l in out.strip().splitlines()
+              if '"stage"' in l]
+    assert "extension" in stages and "index_build" in stages
