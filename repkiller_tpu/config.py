@@ -54,8 +54,9 @@ class Config:
     strands: str = "f"           # "f", "r", or "fr"
 
     # ---- capacities (static shapes for XLA; overflow is detected, not silent) ----
-    hit_capacity: int = 1 << 20      # max seed hits kept per (window, strand)
-    frag_capacity: int = 1 << 16     # max fragments per (window, strand)
+    hit_capacity: int = 1 << 20      # max seed hits kept per (window, strand);
+                                     # fragment arrays inherit this bound (one
+                                     # fragment per surviving seed)
 
     # ---- streaming / sharding (SURVEY.md §2.3) ----
     window: int = 1 << 22        # query window length (bp) for data-parallel streaming
