@@ -209,10 +209,57 @@ def _gather_window(codes: jnp.ndarray, start: jnp.ndarray, step: int,
     return jnp.where(ok, ch, jnp.uint8(255))
 
 
+def _gather_window_packed(words: jnp.ndarray, nmask: jnp.ndarray, L: int,
+                          start: jnp.ndarray, step: int, rows: int,
+                          lead_pad: int, valid: jnp.ndarray) -> jnp.ndarray:
+    """Bit-identical to _gather_window, reading the 2-bit packed arrays.
+
+    16 consecutive window bytes span at most TWO packed words (and 32
+    bytes at most two validity words), so one word-pair gather per
+    16-row group replaces 16 byte gathers; the per-byte extraction is
+    elementwise shift/mask on the VPU. rows must be a multiple of 32
+    (the callers' tiling pad guarantees it).
+    """
+    assert rows % 32 == 0
+    n = start.shape[0]
+    WN, MN = words.shape[0], nmask.shape[0]
+
+    # 2-bit words: groups of 16 rows
+    g16 = jax.lax.broadcasted_iota(jnp.int32, (rows // 16, n), 0)
+    p_a = start[None, :] + jnp.int32(step) * (g16 * 16 - lead_pad)
+    p_b = start[None, :] + jnp.int32(step) * (g16 * 16 + 15 - lead_pad)
+    wbase = jnp.minimum(p_a, p_b) >> 4
+    w0 = words[jnp.clip(wbase, 0, WN - 1)]
+    w1 = words[jnp.clip(wbase + 1, 0, WN - 1)]
+
+    # validity bitmap: groups of 32 rows
+    g32 = jax.lax.broadcasted_iota(jnp.int32, (rows // 32, n), 0)
+    q_a = start[None, :] + jnp.int32(step) * (g32 * 32 - lead_pad)
+    q_b = start[None, :] + jnp.int32(step) * (g32 * 32 + 31 - lead_pad)
+    mbase = jnp.minimum(q_a, q_b) >> 5
+    m0 = nmask[jnp.clip(mbase, 0, MN - 1)]
+    m1 = nmask[jnp.clip(mbase + 1, 0, MN - 1)]
+
+    # per-byte extraction (elementwise)
+    t = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 0) - lead_pad
+    pos = start[None, :] + jnp.int32(step) * t
+    word = jnp.where((pos >> 4) == jnp.repeat(wbase, 16, axis=0),
+                     jnp.repeat(w0, 16, axis=0), jnp.repeat(w1, 16, axis=0))
+    code = (word >> (2 * (pos & 15)).astype(jnp.uint32)) & jnp.uint32(3)
+
+    mword = jnp.where((pos >> 5) == jnp.repeat(mbase, 32, axis=0),
+                      jnp.repeat(m0, 32, axis=0), jnp.repeat(m1, 32, axis=0))
+    nbit = (mword >> (pos & 31).astype(jnp.uint32)) & jnp.uint32(1)
+
+    ok = (pos >= 0) & (pos < L) & valid[None, :]
+    ch = jnp.where(nbit == 1, code.astype(jnp.uint8), jnp.uint8(4))
+    return jnp.where(ok, ch, jnp.uint8(255))
+
+
 def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
                match, mismatch, x_drop, max_extend, band,
                gap_open, gap_extend, seed_chunk: int, interpret: bool,
-               n_live=None):
+               n_live=None, packed_x=None, packed_y=None):
     """One direction for all seeds -> (ei, ej, gain, idents) int32[n].
 
     n_live (traced scalar): true count of live seeds, dense at the front
@@ -258,9 +305,22 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     )
 
     def one_chunk(cpx, cpy, cv):
-        sx = _gather_window(cx, cpx + jnp.int32(base_off), step, ex_rows, 0, cv)
-        sy = _gather_window(cy, cpy + jnp.int32(base_off), step, sy_rows,
-                            band, cv)
+        if packed_x is not None:
+            wx, mx = packed_x
+            sx = _gather_window_packed(wx, mx, cx.shape[0],
+                                       cpx + jnp.int32(base_off), step,
+                                       ex_rows, 0, cv)
+        else:
+            sx = _gather_window(cx, cpx + jnp.int32(base_off), step,
+                                ex_rows, 0, cv)
+        if packed_y is not None:
+            wy, my = packed_y
+            sy = _gather_window_packed(wy, my, cy.shape[0],
+                                       cpy + jnp.int32(base_off), step,
+                                       sy_rows, band, cv)
+        else:
+            sy = _gather_window(cy, cpy + jnp.int32(base_off), step,
+                                sy_rows, band, cv)
         return call(sx, sy)
 
     n_chunks = n_pad // seed_chunk
@@ -293,7 +353,7 @@ def extend_banded_pallas(
     k: int, match: int, mismatch: int, x_drop: int, max_extend: int,
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
-    n_live=None,
+    n_live=None, packed: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
 
@@ -302,8 +362,16 @@ def extend_banded_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if packed:
+        # 2-bit HBM-resident form (BASELINE north star): packed once here,
+        # shared by both directions' window gathers
+        from ..io.codec_device import pack_2bit_device
+        px2 = pack_2bit_device(cx)
+        py2 = px2 if cy is cx else pack_2bit_device(cy)
+    else:
+        px2 = py2 = None
     args = (match, mismatch, x_drop, max_extend, band, gap_open, gap_extend,
-            seed_chunk, interpret, n_live)
+            seed_chunk, interpret, n_live, px2, py2)
     rei, rej, rg, rid = _direction(px, py, seed_valid, cx, cy, k, +1, *args)
     lei, lej, lg, lid = _direction(px, py, seed_valid, cx, cy, -1, -1, *args)
     n = px.shape[0]

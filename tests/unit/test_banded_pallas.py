@@ -92,3 +92,30 @@ def test_full_pipeline_banded_pallas_matches_oracle():
     for f in list(orc.FRAG_FIELDS) + ["group"]:
         assert np.array_equal(got[f], want[f]), f
     assert got["xStart"].shape[0] > 0
+
+
+def test_packed_gather_equals_byte_gather():
+    import jax.numpy as jnp
+    from repkiller_tpu.extend import banded_pallas as bp
+    from repkiller_tpu.io.codec_device import pack_2bit_device
+    from repkiller_tpu.io import codec
+
+    rng = np.random.default_rng(17)
+    L = 1000
+    codes = rng.integers(0, 5, L, dtype=np.uint8)
+    # device packing matches the host codec bit-for-bit
+    wd, md = pack_2bit_device(jnp.asarray(codes))
+    wh, mh, _ = codec.pack_2bit(codes)
+    assert np.array_equal(np.asarray(wd), wh)
+    assert np.array_equal(np.asarray(md), mh)
+
+    n = 64
+    start = rng.integers(-40, L + 40, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    for step in (+1, -1):
+        for rows, lead in ((64, 0), (96, 16)):
+            a = bp._gather_window(jnp.asarray(codes), jnp.asarray(start),
+                                  step, rows, lead, jnp.asarray(valid))
+            b = bp._gather_window_packed(wd, md, L, jnp.asarray(start),
+                                         step, rows, lead, jnp.asarray(valid))
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (step, rows)
