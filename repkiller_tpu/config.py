@@ -39,6 +39,7 @@ class Config:
     banded_impl: str = "auto"    # "auto" | "xla" | "pallas" — banded kernel
                                  # choice; auto = pallas on TPU, xla elsewhere
                                  # (both bit-identical; tests assert it)
+    ungapped_impl: str = "auto"  # same choice for the ungapped x-drop kernel
 
     # ---- fragment acceptance ----
     min_len: int = 40            # min fragment length (bp on X)
@@ -70,6 +71,8 @@ class Config:
             raise ValueError(f"unknown extend_mode {self.extend_mode!r}")
         if self.banded_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown banded_impl {self.banded_impl!r}")
+        if self.ungapped_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown ungapped_impl {self.ungapped_impl!r}")
         if self.strands not in ("f", "r", "fr"):
             raise ValueError(f"strands must be 'f','r','fr', got {self.strands!r}")
         if self.gap_open < 0 or self.gap_extend < 0:
