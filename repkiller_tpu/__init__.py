@@ -9,4 +9,12 @@ from .config import Config, DEFAULT
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "DEFAULT", "__version__"]
+
+def compare(*args, **kw):
+    """Convenience alias for :func:`repkiller_tpu.api.compare` (lazy import
+    so `import repkiller_tpu` stays light)."""
+    from . import api
+    return api.compare(*args, **kw)
+
+
+__all__ = ["Config", "DEFAULT", "compare", "__version__"]
