@@ -72,8 +72,11 @@ def main() -> int:
     g = synth.plant(args.size, fams, seed=1234)
     codes = jax.device_put(jnp.asarray(g.codes), dev)
 
+    # staged execution: per-stage programs compile in minutes on the axon
+    # remote compiler where the fused whole-pipeline program takes ~an
+    # hour, failures are attributable, and stage walls are reported
     t0 = time.perf_counter()
-    out, n_frags, totals = device._compare_jit(codes, codes, cfg, True)
+    out, n_frags, totals = device.compare_staged(codes, codes, cfg, True)
     jax.block_until_ready((out, n_frags, totals))
     compile_s = time.perf_counter() - t0
     print(f"# warmup (compile+run): {compile_s:.1f}s; fragments={int(n_frags)} "
@@ -82,15 +85,19 @@ def main() -> int:
     assert max(map(int, totals)) <= cfg.hit_capacity, "hit capacity overflow"
 
     times = []
+    stage = {}
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out, n_frags, totals = device._compare_jit(codes, codes, cfg, True)
+        out, n_frags, totals = device.compare_staged(codes, codes, cfg, True,
+                                                     timings=stage)
         jax.block_until_ready((out, n_frags, totals))
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
     gbps = args.size / med / 1e9
     print(f"# times={['%.3f' % t for t in times]} median={med:.3f}s",
           file=sys.stderr)
+    print("# stage seconds (all runs): " + json.dumps(
+        {k: round(v, 3) for k, v in sorted(stage.items())}), file=sys.stderr)
 
     vs = gbps / BASELINE_GBPS if BASELINE_GBPS else 1.0
     print(json.dumps({

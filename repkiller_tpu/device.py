@@ -87,6 +87,94 @@ _compare_jit = functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))(
     compare_fn)
 
 
+# ---- staged execution: same stages, one jit per stage ----------------------
+# Bit-identical to _compare_jit (same stage functions), but each stage is
+# its own program with a device sync between. Used by bench.py: stage
+# programs compile in minutes where the fused whole-pipeline program takes
+# the axon remote compiler ~an hour, failures are attributable to a stage,
+# and the per-stage walls are the SURVEY.md §5 metrics record.
+
+_stage_index = functools.partial(jax.jit, static_argnames=("k",))(build_index)
+_stage_revcomp = jax.jit(revcomp_device)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "self_mode"))
+def _stage_join(idxX, idxY, occ, y_len, cfg: Config, self_mode):
+    kx, pxi, nxv = idxX
+    ky, pyi, nyv = idxY
+    return join_hits(kx, pxi, nxv, ky, pyi, nyv,
+                     k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
+                     self_mode=self_mode, y_len=y_len, occ_idx=occ)
+
+
+@functools.partial(jax.jit, static_argnames=("min_hit_dist",))
+def _stage_filter(hpx, hpy, hvalid, min_hit_dist: int):
+    return filter_hits(hpx, hpy, hvalid, min_hit_dist)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "strand"))
+def _stage_extend(spx, spy, svalid, n_seeds, cx, cy, cfg: Config, strand: int):
+    frag = extend_dispatch(spx, spy, svalid, cx, cy, cfg, n_live=n_seeds)
+    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
+    return frag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "y_len"))
+def _stage_merge(frag, valid, cfg: Config, y_len: int):
+    return merge_accept(frag, valid, cfg.min_len, cfg.min_identity,
+                        y_len=y_len)
+
+
+def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
+                   self_cmp: bool, timings: dict = None):
+    """Stage-by-stage equivalent of _compare_jit; returns the same
+    (out, n_frags, total_hits) triple. `timings` (optional dict) collects
+    per-stage wall seconds."""
+    import time as _time
+
+    def timed(name, fn, *a, **kw):
+        t0 = _time.perf_counter()
+        out = fn(*a, **kw)
+        jax.block_until_ready(out)
+        if timings is not None:
+            timings[name] = timings.get(name, 0.0) + _time.perf_counter() - t0
+        return out
+
+    cy_f = cx if self_cmp else cy
+    idxX = timed("index_x", _stage_index, cx, cfg.k)
+    occ = (idxX[0], idxX[2])
+
+    frags, valids, totals = [], [], []
+    strands = ([0] if "f" in cfg.strands else []) + \
+              ([1] if "r" in cfg.strands else [])
+    for strand in strands:
+        if self_cmp and strand == 0:
+            cy_cmp, idxY, mode = cx, idxX, "f"
+        elif strand == 0:
+            cy_cmp = cy_f
+            idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
+            mode = None
+        else:
+            cy_cmp = timed("revcomp", _stage_revcomp, cy_f)
+            idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
+            mode = "r" if self_cmp else None
+        hpx, hpy, hv, total = timed(
+            "join", _stage_join, idxX, idxY, occ,
+            jnp.int32(cy_cmp.shape[0]), cfg, mode)
+        spx, spy, sv, n_seeds = timed(
+            "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
+        frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
+                     cx, cy_cmp, cfg, strand)
+        frags.append(frag), valids.append(sv), totals.append(total)
+
+    allfrag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
+    allvalid = jnp.concatenate(valids)
+    out, valid_out, n_frags = timed(
+        "merge", _stage_merge, allfrag, allvalid, cfg,
+        int(cy_f.shape[0]))
+    return out, n_frags, jnp.stack(totals)
+
+
 def compare(
     codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config
 ) -> Dict[str, np.ndarray]:
