@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Self-established baseline (BASELINE.md): first working build, axon TPU v5e,
 # 1 chip, default bench config. None until first measured on the real chip.
-BASELINE_GBPS = None
+BASELINE_GBPS = 0.000228
 
 
 def main() -> int:
