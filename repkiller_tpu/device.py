@@ -50,6 +50,7 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
         kx, pxi, nxv, ky, pyi, nyv,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
         self_mode=self_mode, y_len=cy_cmp.shape[0],
+        same_index=(self_cmp and strand == 0),
     )
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
 
@@ -98,13 +99,17 @@ _stage_index = functools.partial(jax.jit, static_argnames=("k",))(build_index)
 _stage_revcomp = jax.jit(revcomp_device)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "self_mode"))
-def _stage_join(idxX, idxY, occ, y_len, cfg: Config, self_mode):
+@functools.partial(jax.jit, static_argnames=("cfg", "self_mode",
+                                              "same_index"))
+def _stage_join(idxX, idxY, occ, y_len, cfg: Config, self_mode,
+                same_index=False):
     kx, pxi, nxv = idxX
     ky, pyi, nyv = idxY
     return join_hits(kx, pxi, nxv, ky, pyi, nyv,
                      k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
-                     self_mode=self_mode, y_len=y_len, occ_idx=occ)
+                     self_mode=self_mode, y_len=y_len,
+                     occ_idx=None if same_index else occ,
+                     same_index=same_index)
 
 
 @functools.partial(jax.jit, static_argnames=("min_hit_dist",))
@@ -160,7 +165,8 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
             mode = "r" if self_cmp else None
         hpx, hpy, hv, total = timed(
             "join", _stage_join, idxX, idxY, occ,
-            jnp.int32(cy_cmp.shape[0]), cfg, mode)
+            jnp.int32(cy_cmp.shape[0]), cfg, mode,
+            same_index=(self_cmp and strand == 0))
         spx, spy, sv, n_seeds = timed(
             "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
         frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,

@@ -72,7 +72,14 @@ def _scan_max_plus(w, wid, WP):
 
 def _make_kernel(E: int, W: int, WP: int, band: int,
                  match: int, mismatch: int, x_drop: int,
-                 gap_open: int, gap_extend: int):
+                 gap_open: int, gap_extend: int, jcap: int = None):
+    # jcap: column (y-step) cap. Full runs use jcap == E (the oracle's
+    # y-window bound). Phase-1 runs use row cap E1 with jcap = E1 + band,
+    # so every cell computed in rows <= E1 is IDENTICAL to the full-depth
+    # run's cell (j <= i + band <= E1 + band <= full jcap) — which makes
+    # "all cells dead by row E1" a final verdict (two-phase extension).
+    if jcap is None:
+        jcap = E
     # all scalars stay python ints -> compile-time immediates in the kernel
     open_, ext, xd = int(gap_open), int(gap_extend), int(x_drop)
     m32, mm32 = int(match), int(mismatch)
@@ -129,7 +136,7 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
         def body(state):
             i, H, Eg, IH, IE, best, bei, bej, bid, ywin = state
             j_idx = i - b + o_col
-            ymask = (j_idx >= 1) & (j_idx <= E) & in_band
+            ymask = (j_idx >= 1) & (j_idx <= jcap) & in_band
             ychar = ywin                                   # ywin[o]=sy_pad[i-1+o]
             yok = (ychar < 5) & ymask
             xchar = load_row(sx_ref, i - 1)                        # (1, SB)
@@ -188,10 +195,12 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
 
         state = (jnp.int32(1), H, Eg, IH, IE, best, bei, bej, bid, ywin0)
         state = jax.lax.while_loop(cond, body, state)
-        _, _, _, _, _, best, bei, bej, bid = state[:9]
+        _, Hend, _, _, _, best, bei, bej, bid = state[:9]
+        alive = jnp.max((Hend > NEG_INF).astype(jnp.int32), axis=0,
+                        keepdims=True)     # cells left after the row cap
         out = jnp.concatenate(
-            [bei, bej, best, bid,
-             jnp.zeros((4, SB), jnp.int32)], axis=0)       # (8, SB)
+            [bei, bej, best, bid, alive,
+             jnp.zeros((3, SB), jnp.int32)], axis=0)       # (8, SB)
         out_ref[:, :] = out
 
     return kernel
@@ -259,7 +268,7 @@ def _gather_window_packed(words: jnp.ndarray, nmask: jnp.ndarray, L: int,
 def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
                match, mismatch, x_drop, max_extend, band,
                gap_open, gap_extend, seed_chunk: int, interpret: bool,
-               n_live=None, packed_x=None, packed_y=None):
+               n_live=None, packed_x=None, packed_y=None, jcap_override=None):
     """One direction for all seeds -> (ei, ej, gain, idents) int32[n].
 
     n_live (traced scalar): true count of live seeds, dense at the front
@@ -269,12 +278,13 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     """
     n = px.shape[0]
     E = max_extend
+    jcap = max_extend if jcap_override is None else jcap_override
     W = 2 * band + 1
     WP = -(-W // 8) * 8
     # uint8 VMEM tiling wants sublane counts in multiples of 32 — pad the
     # gathered windows (extra rows are never read by the kernel)
     ex_rows = -(-E // 32) * 32
-    sy_rows = -(-(E + WP) // 32) * 32
+    sy_rows = -(-(max(E, jcap) + WP) // 32) * 32
     assert seed_chunk % SB == 0
     n_pad = -(-n // seed_chunk) * seed_chunk
 
@@ -287,7 +297,7 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     vp = pad(seed_valid, False)
 
     kern = _make_kernel(E, W, WP, band, match, mismatch, x_drop,
-                        gap_open, gap_extend)
+                        gap_open, gap_extend, jcap=jcap)
     grid = seed_chunk // SB
     call = pl.pallas_call(
         kern,
@@ -344,7 +354,7 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
             jnp.zeros((n_chunks, 8, seed_chunk), jnp.int32))
     _, outs = jax.lax.while_loop(lambda s: s[0] < live_chunks, body, init)
     outs = jnp.moveaxis(outs, 1, 0).reshape(8, n_pad)[:, :n]
-    return outs[0], outs[1], outs[2], outs[3]
+    return outs[0], outs[1], outs[2], outs[3], outs[4]
 
 
 def extend_banded_pallas(
@@ -353,7 +363,8 @@ def extend_banded_pallas(
     k: int, match: int, mismatch: int, x_drop: int, max_extend: int,
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
-    n_live=None, packed: bool = True,
+    n_live=None, packed: bool = True, two_phase: bool = True,
+    phase1_rows: int = 192,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
 
@@ -370,10 +381,39 @@ def extend_banded_pallas(
         py2 = px2 if cy is cx else pack_2bit_device(cy)
     else:
         px2 = py2 = None
-    args = (match, mismatch, x_drop, max_extend, band, gap_open, gap_extend,
-            seed_chunk, interpret, n_live, px2, py2)
-    rei, rej, rg, rid = _direction(px, py, seed_valid, cx, cy, k, +1, *args)
-    lei, lej, lg, lid = _direction(px, py, seed_valid, cx, cy, -1, -1, *args)
+    def run_dir(base_off, step):
+        common = (match, mismatch, x_drop)
+        tail = (band, gap_open, gap_extend, seed_chunk, interpret)
+        if not two_phase or max_extend <= phase1_rows + band:
+            ei, ej, g, idn, _ = _direction(
+                px, py, seed_valid, cx, cy, base_off, step, *common,
+                max_extend, *tail, n_live=n_live, packed_x=px2, packed_y=py2)
+            return ei, ej, g, idn
+        # Phase 1: row cap phase1_rows, column cap phase1_rows + band, so
+        # every computed cell equals the full-depth run's cell and death
+        # by the row cap is FINAL. Survivors (still-live band cells) are
+        # compacted to the front and re-run from scratch at full depth —
+        # deep repeat seeds stop dragging whole blocks of shallow seeds
+        # through max_extend rows.
+        ei, ej, g, idn, alive = _direction(
+            px, py, seed_valid, cx, cy, base_off, step, *common,
+            phase1_rows, *tail, n_live=n_live, packed_x=px2, packed_y=py2,
+            jcap_override=phase1_rows + band)
+        alive = (alive == 1) & seed_valid
+        order = jnp.argsort(~alive)               # stable: alive first
+        n2 = jnp.sum(alive.astype(jnp.int32))
+        ei2, ej2, g2, id2, _ = _direction(
+            px[order], py[order], alive[order], cx, cy, base_off, step,
+            *common, max_extend, *tail, n_live=n2, packed_x=px2,
+            packed_y=py2)
+        inv = jnp.argsort(order)                  # inverse permutation
+        return (jnp.where(alive, ei2[inv], ei),
+                jnp.where(alive, ej2[inv], ej),
+                jnp.where(alive, g2[inv], g),
+                jnp.where(alive, id2[inv], idn))
+
+    rei, rej, rg, rid = run_dir(k, +1)
+    lei, lej, lg, lid = run_dir(-1, -1)
     n = px.shape[0]
     seed_score = jnp.int32(k * match)
     frag = {

@@ -70,6 +70,21 @@ def searchsorted_pair(
     return lo
 
 
+def _run_bounds(k_sorted: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-entry [run_start, run_end) of equal-value runs in a sorted
+    array — two O(n) scans, no searching."""
+    n = k_sorted.shape[0]
+    i_idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             k_sorted[1:] != k_sorted[:-1]])
+    lo = jax.lax.cummax(jnp.where(first, i_idx, 0))
+    last = jnp.concatenate([k_sorted[1:] != k_sorted[:-1],
+                            jnp.ones(1, bool)])
+    nxt = jnp.where(last, i_idx + 1, n)
+    hi = jax.lax.cummin(nxt[::-1])[::-1]
+    return lo, hi
+
+
 def join_hits(
     kx: jnp.ndarray, px: jnp.ndarray, nx_valid: jnp.ndarray,
     ky: jnp.ndarray, py: jnp.ndarray, ny_valid: jnp.ndarray,
@@ -80,6 +95,7 @@ def join_hits(
     y_len: int = 0,
     occ_idx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     shard: Optional[Tuple[jnp.ndarray, int]] = None,
+    same_index: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Join sorted indices -> (hpx, hpy, hvalid, total) with static capacity.
 
@@ -91,28 +107,37 @@ def join_hits(
     full index instead of kx (required when kx is a window).
     shard (shard_id, n_shards): keep only k-mers whose top bits equal
     shard_id — n_shards must be a power of two dividing 4**k.
+    same_index (STATIC): kx/px ARE ky/py (self-comparison forward with the
+    whole-genome index on both sides). Run bounds then come from O(n)
+    boundary scans instead of searchsorted (whose "sort" method re-sorts
+    queries+targets — the dominant join cost at genome scale), and the
+    canonical-half bound is simply xi+1 (each entry sits inside its own
+    pos-sorted run).
     """
     nx = kx.shape[0]
     xi = jnp.arange(nx, dtype=jnp.int32)
 
     # run of each X k-mer in Y (clamped to the valid prefix)
-    lo = jnp.searchsorted(ky, kx, side="left", method="sort").astype(jnp.int32)
-    hi = jnp.searchsorted(ky, kx, side="right", method="sort").astype(jnp.int32)
+    if same_index:
+        lo, hi = _run_bounds(kx)
+    else:
+        lo = jnp.searchsorted(ky, kx, side="left", method="sort").astype(jnp.int32)
+        hi = jnp.searchsorted(ky, kx, side="right", method="sort").astype(jnp.int32)
     lo = jnp.minimum(lo, ny_valid)
     hi = jnp.minimum(hi, ny_valid)
     occ_y = hi - lo
 
     # occurrence count of each X k-mer in X itself
-    if occ_idx is not None:
+    if same_index:
+        occ_x = occ_y                 # X and Y are the same index
+    elif occ_idx is not None:
         ko, no_valid = occ_idx
         xlo = jnp.searchsorted(ko, kx, side="left", method="sort").astype(jnp.int32)
         xhi = jnp.searchsorted(ko, kx, side="right", method="sort").astype(jnp.int32)
         occ_x = jnp.minimum(xhi, no_valid) - jnp.minimum(xlo, no_valid)
-    elif self_mode == "f" and kx is ky:
-        occ_x = occ_y                 # X and Y are literally the same index
     else:
-        xlo = jnp.searchsorted(kx, kx, side="left", method="sort").astype(jnp.int32)
-        xhi = jnp.searchsorted(kx, kx, side="right", method="sort").astype(jnp.int32)
+        # occurrences of kx in kx itself: boundary scans, never a search
+        xlo, xhi = _run_bounds(kx)
         occ_x = jnp.minimum(xhi, nx_valid) - jnp.minimum(xlo, nx_valid)
 
     x_is_valid = xi < nx_valid
@@ -129,7 +154,9 @@ def join_hits(
         keep = keep & (owner == jnp.uint32(shard_id))
 
     # exact canonical-half bounds via (kmer, pos) bisection
-    if self_mode == "f":
+    if self_mode == "f" and same_index:
+        lo = jnp.maximum(lo, xi + 1)  # entry xi is inside its own run
+    elif self_mode == "f":
         lo = jnp.maximum(lo, searchsorted_pair(ky, py, ny_valid, kx, px))
     elif self_mode == "r":
         anchor = jnp.int32(y_len) - px - jnp.int32(k)   # keep py <= anchor

@@ -119,3 +119,42 @@ def test_packed_gather_equals_byte_gather():
             b = bp._gather_window_packed(wd, md, L, jnp.asarray(start),
                                          step, rows, lead, jnp.asarray(valid))
             assert np.array_equal(np.asarray(a), np.asarray(b)), (step, rows)
+
+
+def test_two_phase_matches_single_phase():
+    """Force the phase-1/compaction path (tiny phase1_rows) on inputs with
+    deep survivors; must equal the single-phase run and the oracle."""
+    cfg = Config(k=8, band=4, max_extend=256, x_drop=40,
+                 extend_mode="banded")
+    rng = np.random.default_rng(33)
+    L = 4000
+    cx = rng.integers(0, 4, L, dtype=np.uint8)
+    cy = cx.copy()
+    mut = rng.random(L) < 0.02          # long high-identity stretches
+    cy[mut] = (cy[mut] + rng.integers(1, 4, mut.sum())) % 4
+    n = 128
+    px = rng.integers(0, L - cfg.k, n).astype(np.int32)
+    py = np.clip(px + rng.integers(-2, 3, n), 0, L - cfg.k).astype(np.int32)
+    valid = np.ones(n, bool)
+    valid[100:] = False
+
+    def run(two_phase, phase1_rows=32):
+        frag = extend_banded_pallas(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
+            jnp.asarray(cx), jnp.asarray(cy),
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend,
+            band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+            seed_chunk=128, interpret=True, two_phase=two_phase,
+            phase1_rows=phase1_rows, n_live=jnp.int32(100))
+        return {k2: np.asarray(v) for k2, v in frag.items()}
+
+    one = run(False)
+    two = run(True)
+    for f in ("xStart", "yStart", "xEnd", "yEnd", "score", "idents"):
+        assert np.array_equal(one[f], two[f]), f
+    want = obanded.extend_banded(px[:100], py[:100], cx, cy, cfg)
+    for f in ("xStart", "yStart", "xEnd", "yEnd", "score", "idents"):
+        assert np.array_equal(two[f][:100], want[f]), f
+    # deep survivors actually exist (the path is exercised)
+    assert (want["length"] > 64).any()
