@@ -101,14 +101,16 @@ _stage_revcomp = jax.jit(revcomp_device)
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_mode",
                                               "same_index"))
-def _stage_join(idxX, idxY, occ, y_len, cfg: Config, self_mode,
+def _stage_join(idxX, idxY, y_len, cfg: Config, self_mode,
                 same_index=False):
+    # kx here is always the FULL X index (never a window), so X-side
+    # occurrence counts come from join_hits' run-bounds scans (occ_idx
+    # None) — no search against a separate occurrence index needed.
     kx, pxi, nxv = idxX
     ky, pyi, nyv = idxY
     return join_hits(kx, pxi, nxv, ky, pyi, nyv,
                      k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
                      self_mode=self_mode, y_len=y_len,
-                     occ_idx=None if same_index else occ,
                      same_index=same_index)
 
 
@@ -147,7 +149,6 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
 
     cy_f = cx if self_cmp else cy
     idxX = timed("index_x", _stage_index, cx, cfg.k)
-    occ = (idxX[0], idxX[2])
 
     frags, valids, totals = [], [], []
     strands = ([0] if "f" in cfg.strands else []) + \
@@ -164,7 +165,7 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
             idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
             mode = "r" if self_cmp else None
         hpx, hpy, hv, total = timed(
-            "join", _stage_join, idxX, idxY, occ,
+            "join", _stage_join, idxX, idxY,
             jnp.int32(cy_cmp.shape[0]), cfg, mode,
             same_index=(self_cmp and strand == 0))
         spx, spy, sv, n_seeds = timed(

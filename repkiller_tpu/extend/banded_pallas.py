@@ -11,19 +11,20 @@ extend/banded_xla.py; this kernel must match both bit-identically
   (seeds on VPU lanes, band on sublanes) and one DP row costs a handful
   of 8x128 vector ops; HBM sees only the pre-gathered base windows going
   in and 4 result vectors coming out.
-- the row loop is a `lax.while_loop` per block: a block whose seeds all
-  died (x-drop) exits immediately, so trailing invalid capacity slots
-  cost one row each instead of max_extend.
+- the row loop is a `lax.while_loop` over 32-row GROUPS per block: each
+  group does two aligned VMEM block loads (x rows + y window rows) and
+  statically unrolls 32 DP rows over register slices, so no row pays a
+  dynamic load or select-reduce. A block whose seeds all died (x-drop)
+  exits at the next group boundary — bit-identical to per-row exit,
+  because pruning makes the all-dead state absorbing (dead rows are
+  no-ops), and trailing invalid capacity slots cost one group each
+  instead of max_extend rows.
 
 Band-on-sublanes layout: lane ``s`` is a seed, sublane ``o`` is band
 offset; the cell at DP row i, offset o is column j = i - band + o.
 Donors: diagonal at o (previous row), vertical at o+1 (previous row),
 horizontal at o-1 (current row — resolved by an argmax-last max-plus
 scan along sublanes, log2(W) shift/compare steps).
-
-The y base window advances one row per DP row, so instead of re-slicing
-the window each row the kernel keeps a rolling (W, 128) register and
-loads ONE new sublane row per row.
 
 Base windows are pre-gathered by XLA outside the kernel (codes ->
 (rows, chunk) uint8 with 255 = out-of-bounds, 4 = in-bounds N) in seed
@@ -72,7 +73,8 @@ def _scan_max_plus(w, wid, WP):
 
 def _make_kernel(E: int, W: int, WP: int, band: int,
                  match: int, mismatch: int, x_drop: int,
-                 gap_open: int, gap_extend: int, jcap: int = None):
+                 gap_open: int, gap_extend: int, jcap: int = None,
+                 group: int = 32):
     # jcap: column (y-step) cap. Full runs use jcap == E (the oracle's
     # y-window bound). Phase-1 runs use row cap E1 with jcap = E1 + band,
     # so every cell computed in rows <= E1 is IDENTICAL to the full-depth
@@ -87,19 +89,17 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
 
     LA = 32   # i8 VMEM sublane alignment: dynamic loads must be 32-aligned
     WL = -(-WP // LA) * LA
+    G = group # DP rows per loop step: one aligned x block, one y block,
+              # G statically-unrolled rows with register slices — no
+              # per-row dynamic loads or select-reduces. 32 on TPU (the
+              # i8 VMEM alignment unit); small under the interpreter,
+              # where per-op cost dominates and dead blocks would pay
+              # G-row granularity for nothing.
+    YB = -(-(G + WP) // LA) * LA   # y rows covering one group's windows
 
     def kernel(sx_ref, sy_ref, out_ref):
         o_col = jax.lax.broadcasted_iota(jnp.int32, (WP, SB), 0)
         in_band = o_col < W
-
-        def load_row(ref, idx):
-            """One dynamic sublane row of an i8 ref as (1, SB) int32.
-            Mosaic only proves alignment for LA-multiples, so load the
-            aligned 32-row block and select the row in registers."""
-            base = pl.multiple_of((idx // LA) * LA, LA)
-            blk = ref[pl.ds(base, LA), :].astype(jnp.int32)
-            sel = jax.lax.broadcasted_iota(jnp.int32, (LA, SB), 0) == (idx - base)
-            return jnp.sum(jnp.where(sel, blk, 0), axis=0, keepdims=True)
 
         # ---- row 0 ----
         # H(0, j=o-b): 0 at center; -(open + j*ext) right of center while
@@ -130,70 +130,94 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
         bid = jnp.zeros((1, SB), jnp.int32)
 
         def cond(state):
-            i, H = state[0], state[1]
-            return (i <= E) & jnp.any(H > NEG_INF)
+            i_base, H = state[0], state[1]
+            # group-granularity exit is bit-identical to per-row exit:
+            # when every H cell is NEG_INF the x-drop prune has already
+            # forced every E cell to NEG_INF too (best >= 0 > NEG_INF +
+            # xd), so the all-dead state is absorbing — extra unrolled
+            # rows on a dead block change nothing.
+            return (i_base < E) & jnp.any(H > NEG_INF)
 
         def body(state):
-            i, H, Eg, IH, IE, best, bei, bej, bid, ywin = state
-            j_idx = i - b + o_col
-            ymask = (j_idx >= 1) & (j_idx <= jcap) & in_band
-            ychar = ywin                                   # ywin[o]=sy_pad[i-1+o]
-            yok = (ychar < 5) & ymask
-            xchar = load_row(sx_ref, i - 1)                        # (1, SB)
-            xok = xchar < 5
-            is_match = (ychar == xchar) & (ychar < 4) & (xchar < 4) & yok & xok
-            sub = jnp.where(is_match, m32, mm32)
+            i_base, H, Eg, IH, IE, best, bei, bej, bid = state
+            xb = pl.multiple_of(i_base, G)
+            xblk = sx_ref[pl.ds(xb, G), :].astype(jnp.int32)    # (G, SB)
+            yblk = sy_ref[pl.ds(xb, YB), :].astype(jnp.int32)   # (YB, SB)
 
-            Hu = _up1(H, NEG_INF)
-            IHu = _up1(IH, 0)
-            Eu = _up1(Eg, NEG_INF)
-            IEu = _up1(IE, 0)
+            for r in range(1, G + 1):                 # static unroll
+                i = i_base + r
+                j_idx = i - b + o_col
+                ymask = (j_idx >= 1) & (j_idx <= jcap) & in_band
+                ychar = yblk[r - 1:r - 1 + WP]        # ychar[o]=sy_pad[i-1+o]
+                yok = (ychar < 5) & ymask
+                xchar = xblk[r - 1:r]                                # (1, SB)
+                xok = xchar < 5
+                # (a ^ b) < 1 is a == b for non-negative codes: Mosaic
+                # folds eq on freshly widened i8 operands back to an i8
+                # cmpi eq the v5e target rejects ("Target does not
+                # support this comparison"); xor + an ordered compare
+                # lowers cleanly and is bit-exact for 0..255
+                is_match = ((ychar ^ xchar) < 1) & (ychar < 4) & (xchar < 4) \
+                    & yok & xok
+                sub = jnp.where(is_match, m32, mm32)
 
-            M = jnp.where((H > NEG_INF) & xok & yok, H + sub, NEG_INF)
-            IM = IH + is_match.astype(jnp.int32)
+                Hu = _up1(H, NEG_INF)
+                IHu = _up1(IH, 0)
+                Eu = _up1(Eg, NEG_INF)
+                IEu = _up1(IE, 0)
 
-            Ec1 = jnp.where((Hu > NEG_INF) & xok, Hu - open_ - ext, NEG_INF)
-            Ec2 = jnp.where((Eu > NEG_INF) & xok, Eu - ext, NEG_INF)
-            Enew = jnp.maximum(Ec1, Ec2)
-            IEnew = jnp.where(Ec1 >= Ec2, IHu, IEu)
+                M = jnp.where((H > NEG_INF) & xok & yok, H + sub, NEG_INF)
+                IM = IH + is_match.astype(jnp.int32)
 
-            ME = jnp.maximum(M, Enew)
-            IME = jnp.where(M >= Enew, IM, IEnew)
+                Ec1 = jnp.where((Hu > NEG_INF) & xok, Hu - open_ - ext,
+                                NEG_INF)
+                Ec2 = jnp.where((Eu > NEG_INF) & xok, Eu - ext, NEG_INF)
+                Enew = jnp.maximum(Ec1, Ec2)
+                IEnew = jnp.where(Ec1 >= Ec2, IHu, IEu)
 
-            w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
-            wmax, wid = _scan_max_plus(w, IME, WP)
-            wmax_ex = _down(wmax, 1, NEG_INF)
-            wid_ex = _down(wid, 1, 0)
-            F = jnp.where((wmax_ex > NEG_INF) & yok,
-                          wmax_ex - open_ - o_col * ext, NEG_INF)
+                ME = jnp.maximum(M, Enew)
+                IME = jnp.where(M >= Enew, IM, IEnew)
 
-            Hn = jnp.maximum(ME, F)
-            IHn = jnp.where(ME >= F, IME, wid_ex)
+                w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
+                wmax, wid = _scan_max_plus(w, IME, WP)
+                wmax_ex = _down(wmax, 1, NEG_INF)
+                wid_ex = _down(wid, 1, 0)
+                F = jnp.where((wmax_ex > NEG_INF) & yok,
+                              wmax_ex - open_ - o_col * ext, NEG_INF)
 
-            # endpoint candidate: row max, tie -> smallest o (== smallest j)
-            g = jnp.max(Hn, axis=0, keepdims=True)                 # (1, SB)
-            is_mx = Hn == g
-            ob = jnp.min(jnp.where(is_mx, o_col, WP), axis=0,
-                         keepdims=True)
-            jb = i - b + ob
-            idb = jnp.sum(jnp.where(o_col == ob, IHn, 0), axis=0,
-                          keepdims=True)
-            better = (g > best) | ((g == best) & (i + jb < bei + bej))
-            bei = jnp.where(better, i, bei)
-            bej = jnp.where(better, jb, bej)
-            bid = jnp.where(better, idb, bid)
-            best = jnp.where(better, g, best)
+                Hn = jnp.maximum(ME, F)
+                IHn = jnp.where(ME >= F, IME, wid_ex)
 
-            prune = Hn < best - xd
-            Hn = jnp.where(prune, NEG_INF, Hn)
-            Enew = jnp.where(prune, NEG_INF, Enew)
+                # endpoint candidate: row max, tie -> smallest o (== j)
+                g = jnp.max(Hn, axis=0, keepdims=True)             # (1, SB)
+                is_mx = Hn == g
+                ob = jnp.min(jnp.where(is_mx, o_col, WP), axis=0,
+                             keepdims=True)
+                jb = i - b + ob
+                idb = jnp.sum(jnp.where(o_col == ob, IHn, 0), axis=0,
+                              keepdims=True)
+                better = (g > best) | ((g == best) & (i + jb < bei + bej))
 
-            ywin = _up1(ywin, 255)
-            ywin = jnp.where(o_col == WP - 1, load_row(sy_ref, i + WP - 1),
-                             ywin)
-            return (i + 1, Hn, Enew, IHn, IEnew, best, bei, bej, bid, ywin)
+                prune = Hn < jnp.maximum(best, g) - xd
+                Hn = jnp.where(prune, NEG_INF, Hn)
+                Enew = jnp.where(prune, NEG_INF, Enew)
 
-        state = (jnp.int32(1), H, Eg, IH, IE, best, bei, bej, bid, ywin0)
+                if E % G:                 # rows past E in the last group
+                    upd = i <= E          # are no-ops (E a G-multiple in
+                    Hn = jnp.where(upd, Hn, H)         # practice: static
+                    Enew = jnp.where(upd, Enew, Eg)    # branch, no cost)
+                    IHn = jnp.where(upd, IHn, IH)
+                    IEnew = jnp.where(upd, IEnew, IE)
+                    better = better & upd
+                bei = jnp.where(better, i, bei)
+                bej = jnp.where(better, jb, bej)
+                bid = jnp.where(better, idb, bid)
+                best = jnp.where(better, g, best)
+                H, Eg, IH, IE = Hn, Enew, IHn, IEnew
+
+            return (i_base + G, H, Eg, IH, IE, best, bei, bej, bid)
+
+        state = (jnp.int32(0), H, Eg, IH, IE, best, bei, bej, bid)
         state = jax.lax.while_loop(cond, body, state)
         _, Hend, _, _, _, best, bei, bej, bid = state[:9]
         alive = jnp.max((Hend > NEG_INF).astype(jnp.int32), axis=0,
@@ -282,9 +306,10 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     W = 2 * band + 1
     WP = -(-W // 8) * 8
     # uint8 VMEM tiling wants sublane counts in multiples of 32 — pad the
-    # gathered windows (extra rows are never read by the kernel)
+    # gathered windows (extra rows read by the kernel's grouped block
+    # loads are 255-filled by the gather and masked in-kernel)
     ex_rows = -(-E // 32) * 32
-    sy_rows = -(-(max(E, jcap) + WP) // 32) * 32
+    sy_rows = ex_rows + (-(-(32 + WP) // 32) * 32)   # last group's y block
     assert seed_chunk % SB == 0
     n_pad = -(-n // seed_chunk) * seed_chunk
 
@@ -297,7 +322,8 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     vp = pad(seed_valid, False)
 
     kern = _make_kernel(E, W, WP, band, match, mismatch, x_drop,
-                        gap_open, gap_extend, jcap=jcap)
+                        gap_open, gap_extend, jcap=jcap,
+                        group=32 if not interpret else 4)
     grid = seed_chunk // SB
     call = pl.pallas_call(
         kern,

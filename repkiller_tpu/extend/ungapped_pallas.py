@@ -44,7 +44,11 @@ def _make_kernel(E: int, match: int, mismatch: int, x_drop: int):
             xa = sx_ref[pl.ds(c * G, G), :].astype(jnp.int32)
             ya = sy_ref[pl.ds(c * G, G), :].astype(jnp.int32)
             valid = (xa < 5) & (ya < 5)
-            eq = valid & (xa == ya) & (xa < 4)
+            # (a ^ b) < 1 is a == b for the 0..255 code values: a direct
+            # eq on freshly widened i8 operands gets folded by Mosaic to
+            # an i8 cmpi eq, which the v5e target rejects ("Target does
+            # not support this comparison"); verified on-chip.
+            eq = valid & ((xa ^ ya) < 1) & (xa < 4)
             delta = jnp.where(eq, m32, mm32)
 
             # inclusive scans along rows: sum(delta), sum(eq), cummax

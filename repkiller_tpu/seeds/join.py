@@ -10,13 +10,17 @@ k-mer arrays, followed by a static-capacity pair expansion:
      either side contribute nothing (matches oracle.pipeline.find_hits);
   3. self-comparison bounds are EXACT, not post-filtered: the canonical
      half (px < py for "f", px <= y_anchor for "r") is carved out of
-     [lo, hi) with a (kmer, pos) pair binary search, so the reported
+     [lo, hi) with a (kmer, pos) composite-key rank, so the reported
      total is the true hit count and no capacity is wasted on hits that
-     a validity filter would then drop;
-  4. exclusive-scan the per-entry pair counts, then scatter-free gather:
-     output slot t maps back to its source entry by searchsorted over the
-     inclusive count scan (the standard capacity + two-pass XLA pattern,
-     SURVEY.md §7 "Hard parts" #3).
+     a validity filter would then drop. All bisection ranks — lo, hi,
+     and the pair bound — come from ONE `lax.sort` of targets+queries
+     (ranks_by_sort): both sides are already sorted, so the join is a
+     merge, and a merge is one sort away;
+  4. exclusive-scan the per-entry pair counts, then map output slot t
+     back to its source entry with a scatter of entry ids at their
+     offsets + running max (the standard capacity + two-pass XLA
+     pattern, SURVEY.md §7 "Hard parts" #3, with O(capacity) owner
+     recovery instead of a search).
 
 Sharding hooks (SURVEY.md §2.3 / §3.4): `shard` restricts the join to
 k-mers owned by one hash-prefix shard (ownership = high bits of the
@@ -36,38 +40,48 @@ import jax
 import jax.numpy as jnp
 
 
-def searchsorted_pair(
-    ka: jnp.ndarray, pa: jnp.ndarray, n_valid: jnp.ndarray,
-    kq: jnp.ndarray, pq: jnp.ndarray,
-) -> jnp.ndarray:
-    """Right-bisect the composite key (kmer, pos) without 64-bit keys.
+MAXP = (1 << 31) - 1      # > any valid position (genomes < 2^31 bp)
 
-    (ka, pa) is sorted lexicographically on the valid prefix [0, n_valid);
-    returns, per query, the first i in [0, n_valid] such that
-    (ka[i], pa[i]) > (kq, pq). TPU-friendly: a fori_loop of vectorised
-    compares (jnp.searchsorted has no multi-key form, and uint64 packing
-    is unavailable with jax_enable_x64 off).
+
+def ranks_by_sort(ka, pa, n_valid, kqs, pqs):
+    """Right-bisect several query sets into one sorted (kmer, pos) index
+    with a SINGLE `lax.sort` — no binary-search gather loops.
+
+    (ka, pa) is lexicographically sorted on the valid prefix [0, n_valid)
+    (index/build.py's invariant). For each query set q, returns
+    ``rank[q][i]`` = number of valid entries with (k, p) <= (kqs[q][i],
+    pqs[q][i]) — i.e. the right-bisect insertion position of the composite
+    key, the quantity every join bound needs.
+
+    Mechanism (both sides are ALREADY sorted, so this is a merge, and a
+    merge is one sort away): concatenate targets and all queries, sort by
+    (kmer, pos, qid) where targets carry qid < 0 so an equal-key target
+    orders BEFORE the query and is counted by the inclusive scan; the
+    rank of each row is the running count of valid targets; queries read
+    their rank back through one scatter on the sorted qid.
+
+    Replaces `jnp.searchsorted(..., method="sort")` pairs (two sorts) plus
+    a log2(n)-step fori_loop of 4M-wide gathers — the former join-stage
+    hot spot (SURVEY.md §5 stage metrics).
     """
-    n = ka.shape[0]
-    steps = max(1, int(n - 1).bit_length()) if n > 0 else 0
-    # derive the carries from kq (not fresh constants) so they inherit
-    # kq's varying-manual-axes type under shard_map — a constant-typed
-    # carry fails lax.fori_loop's carry-type check inside shard_map
-    lo = (kq.astype(jnp.int32) & jnp.int32(0))
-    hi = lo + n_valid.astype(jnp.int32)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) >> 1
-        km = ka[jnp.clip(mid, 0, n - 1)]
-        pm = pa[jnp.clip(mid, 0, n - 1)]
-        le = (km < kq) | ((km == kq) & (pm <= pq))  # key[mid] <= query
-        lo = jnp.where(le, mid + 1, lo)
-        hi = jnp.where(le, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
-    return lo
+    nt = ka.shape[0]
+    nq = kqs[0].shape[0]
+    Q = len(kqs)
+    ti = jnp.arange(nt, dtype=jnp.int32)
+    # valid targets qid=-1, invalid (sentinel tail) qid=-2: both sort
+    # before any equal-key query, only -1 rows are counted
+    t_qid = jnp.where(ti < n_valid.astype(jnp.int32), -1, -2).astype(jnp.int32)
+    K = jnp.concatenate([ka] + [kq.astype(ka.dtype) for kq in kqs])
+    P = jnp.concatenate([pa.astype(jnp.int32)]
+                        + [pq.astype(jnp.int32) for pq in pqs])
+    QID = jnp.concatenate([t_qid, jnp.arange(Q * nq, dtype=jnp.int32)])
+    _, _, qid_s = jax.lax.sort((K, P, QID), num_keys=3)
+    rank = jnp.cumsum((qid_s == -1).astype(jnp.int32))
+    # scatter ranks back to query order; target rows all land in the
+    # discarded spill slot Q*nq (dup writes there are never read)
+    out = jnp.zeros(Q * nq + 1, jnp.int32)
+    out = out.at[jnp.where(qid_s >= 0, qid_s, Q * nq)].set(rank)
+    return [out[q * nq:(q + 1) * nq] for q in range(Q)]
 
 
 def _run_bounds(k_sorted: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -117,14 +131,24 @@ def join_hits(
     nx = kx.shape[0]
     xi = jnp.arange(nx, dtype=jnp.int32)
 
-    # run of each X k-mer in Y (clamped to the valid prefix)
+    # run of each X k-mer in Y (within the valid prefix), plus the exact
+    # canonical-half pair bound, all from ONE sort (ranks_by_sort)
     if same_index:
         lo, hi = _run_bounds(kx)
+        lo = jnp.minimum(lo, ny_valid)
+        hi = jnp.minimum(hi, ny_valid)
+        pair_rank = None
     else:
-        lo = jnp.searchsorted(ky, kx, side="left", method="sort").astype(jnp.int32)
-        hi = jnp.searchsorted(ky, kx, side="right", method="sort").astype(jnp.int32)
-    lo = jnp.minimum(lo, ny_valid)
-    hi = jnp.minimum(hi, ny_valid)
+        kqs, pqs = [kx, kx], [jnp.full(nx, -1, jnp.int32),
+                              jnp.full(nx, MAXP, jnp.int32)]
+        if self_mode == "f":
+            kqs.append(kx), pqs.append(px)
+        elif self_mode == "r":
+            anchor = jnp.int32(y_len) - px - jnp.int32(k)  # keep py <= anchor
+            kqs.append(kx), pqs.append(anchor)
+        ranks = ranks_by_sort(ky, py, ny_valid, kqs, pqs)
+        lo, hi = ranks[0], ranks[1]
+        pair_rank = ranks[2] if len(ranks) > 2 else None
     occ_y = hi - lo
 
     # occurrence count of each X k-mer in X itself
@@ -132,9 +156,10 @@ def join_hits(
         occ_x = occ_y                 # X and Y are the same index
     elif occ_idx is not None:
         ko, no_valid = occ_idx
-        xlo = jnp.searchsorted(ko, kx, side="left", method="sort").astype(jnp.int32)
-        xhi = jnp.searchsorted(ko, kx, side="right", method="sort").astype(jnp.int32)
-        occ_x = jnp.minimum(xhi, no_valid) - jnp.minimum(xlo, no_valid)
+        xr = ranks_by_sort(ko, jnp.zeros_like(ko, jnp.int32), no_valid,
+                           [kx, kx], [jnp.full(nx, -1, jnp.int32),
+                                      jnp.full(nx, MAXP, jnp.int32)])
+        occ_x = xr[1] - xr[0]
     else:
         # occurrences of kx in kx itself: boundary scans, never a search
         xlo, xhi = _run_bounds(kx)
@@ -153,23 +178,30 @@ def join_hits(
             owner = (kx >> jnp.uint32(shift)).astype(jnp.uint32)
         keep = keep & (owner == jnp.uint32(shard_id))
 
-    # exact canonical-half bounds via (kmer, pos) bisection
+    # exact canonical-half bounds via the (kmer, pos) pair ranks
     if self_mode == "f" and same_index:
         lo = jnp.maximum(lo, xi + 1)  # entry xi is inside its own run
     elif self_mode == "f":
-        lo = jnp.maximum(lo, searchsorted_pair(ky, py, ny_valid, kx, px))
+        lo = jnp.maximum(lo, pair_rank)
     elif self_mode == "r":
-        anchor = jnp.int32(y_len) - px - jnp.int32(k)   # keep py <= anchor
-        hi = jnp.minimum(hi, searchsorted_pair(ky, py, ny_valid, kx, anchor))
-        hi = jnp.maximum(hi, lo)
+        hi = jnp.maximum(jnp.minimum(hi, pair_rank), lo)
     counts = jnp.where(keep, jnp.maximum(hi - lo, 0), 0)
 
     csum = jnp.cumsum(counts)                      # inclusive
     total = csum[-1] if nx > 0 else jnp.int32(0)
     offs = csum - counts                           # exclusive
 
+    # owner of output slot t = the last contributing entry whose exclusive
+    # offset is <= t: a scatter of entry ids at their offsets + cummax —
+    # O(capacity), replacing a sort-based searchsorted over csum.
+    # Contributing entries have strictly increasing offs (unique scatter
+    # indices); the first one starts at offs 0, so every t < total is
+    # covered. Entries with count 0 (and offsets past capacity) land in
+    # the discarded spill slot.
     t = jnp.arange(capacity, dtype=jnp.int32)
-    src = jnp.searchsorted(csum, t, side="right", method="sort").astype(jnp.int32)
+    bidx = jnp.where(counts > 0, jnp.minimum(offs, capacity), capacity)
+    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].max(xi)
+    src = jax.lax.cummax(owner[:capacity])
     srcc = jnp.minimum(src, nx - 1)
     hvalid = t < total
     hpx = px[srcc]
