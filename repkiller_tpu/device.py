@@ -183,13 +183,20 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
 
 
 def compare(
-    codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config
+    codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config,
+    staged: bool = True, timings: dict = None,
 ) -> Dict[str, np.ndarray]:
     """Device-pipeline equivalent of oracle.pipeline.compare.
 
     Returns the canonical fragment dict (original-genome coordinates, numpy,
     compacted to the true count) with the host-computed "group" family
     column. Raises on capacity overflow rather than silently truncating.
+
+    staged=True (default) runs one jitted program per stage —
+    bit-identical to the fused program (same stage functions), but each
+    stage compiles in minutes on the axon remote compiler where the
+    fused whole-pipeline program takes ~an hour. staged=False keeps the
+    single fused jit (the driver compile-check path).
     """
     self_cmp = codesY is None
     cx = jnp.asarray(np.asarray(codesX, np.uint8))
@@ -199,7 +206,11 @@ def compare(
         frag["group"] = np.zeros(0, np.int32)
         return frag
 
-    out, n_frags, total_hits = _compare_jit(cx, cy, cfg, self_cmp)
+    if staged:
+        out, n_frags, total_hits = compare_staged(cx, cy, cfg, self_cmp,
+                                                  timings=timings)
+    else:
+        out, n_frags, total_hits = _compare_jit(cx, cy, cfg, self_cmp)
     total_hits = np.asarray(total_hits)
     if (total_hits > cfg.hit_capacity).any():
         raise ValueError(
