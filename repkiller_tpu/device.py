@@ -21,7 +21,9 @@ import numpy as np
 
 from .config import Config
 from .index.build import build_index
+from .index.canonical import build_canonical_index
 from .seeds.join import join_hits
+from .seeds.self_join import join_self_canonical
 from .seeds.filter import filter_hits
 from .extend import extend_dispatch
 from .chain.merge import merge_accept
@@ -35,22 +37,17 @@ def revcomp_device(codes: jnp.ndarray) -> jnp.ndarray:
     return comp[::-1]
 
 
-def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
-    """Hits + extension for one strand; returns frag dict + valid + totals."""
+def _one_strand(cx, idxX, cy_cmp, strand: int, cfg: Config):
+    """Pairwise hits + extension for one strand (two-genome path);
+    returns frag dict + valid + totals."""
     kx, pxi, nxv = idxX
-    if self_cmp and strand == 0:
-        idxY = idxX
-        self_mode = "f"
-    else:
-        idxY = build_index(cy_cmp, cfg.k)
-        self_mode = ("r" if strand == 1 else None) if self_cmp else None
+    idxY = build_index(cy_cmp, cfg.k)
     ky, pyi, nyv = idxY
 
     hpx, hpy, hvalid, total_hits = join_hits(
         kx, pxi, nxv, ky, pyi, nyv,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
-        self_mode=self_mode, y_len=cy_cmp.shape[0],
-        same_index=(self_cmp and strand == 0),
+        self_mode=None, y_len=cy_cmp.shape[0],
     )
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
 
@@ -59,21 +56,48 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, self_cmp: bool, cfg: Config):
     return frag, svalid, total_hits
 
 
+def self_seeds_fn(cx, cfg: Config):
+    """Self-comparison seeds for every requested strand from ONE
+    canonical index (index/canonical.py + seeds/self_join.py): hit sets
+    for f and r come from O(n) run scans over a single sorted array —
+    no revcomp index build, no sorted-rank join. Returns
+    {strand: (spx, spy, svalid, n_seeds, total_hits)} after thinning."""
+    ci = build_canonical_index(cx, cfg.k)
+    hits_f, hits_r = join_self_canonical(ci, cfg.k, cfg.max_occ,
+                                         cfg.hit_capacity,
+                                         y_len=cx.shape[0])
+    out = {}
+    if "f" in cfg.strands:
+        out[0] = filter_hits(*hits_f[:3], cfg.min_hit_dist) + (hits_f[3],)
+    if "r" in cfg.strands:
+        out[1] = filter_hits(*hits_r[:3], cfg.min_hit_dist) + (hits_r[3],)
+    return out
+
+
 def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
     """Unjitted single-device pipeline; cy is ignored (aliased to cx) when
     self_cmp. Exposed for __graft_entry__ (driver compile-check) — use
     :func:`compare` or `_compare_jit` everywhere else."""
     cy_f = cx if self_cmp else cy
-    idxX = build_index(cx, cfg.k)
 
     frags, valids, totals = [], [], []
-    if "f" in cfg.strands:
-        fr, va, th = _one_strand(cx, idxX, cy_f, 0, self_cmp, cfg)
-        frags.append(fr), valids.append(va), totals.append(th)
-    if "r" in cfg.strands:
-        cy_r = revcomp_device(cy_f)
-        fr, va, th = _one_strand(cx, idxX, cy_r, 1, self_cmp, cfg)
-        frags.append(fr), valids.append(va), totals.append(th)
+    if self_cmp:
+        seeds = self_seeds_fn(cx, cfg)
+        for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
+            cy_cmp = cx if strand == 0 else revcomp_device(cx)
+            frag = extend_dispatch(spx, spy, sv, cx, cy_cmp, cfg,
+                                   n_live=n_seeds)
+            frag["strand"] = jnp.where(sv, jnp.int32(strand), 0)
+            frags.append(frag), valids.append(sv), totals.append(total)
+    else:
+        idxX = build_index(cx, cfg.k)
+        if "f" in cfg.strands:
+            fr, va, th = _one_strand(cx, idxX, cy_f, 0, cfg)
+            frags.append(fr), valids.append(va), totals.append(th)
+        if "r" in cfg.strands:
+            cy_r = revcomp_device(cy_f)
+            fr, va, th = _one_strand(cx, idxX, cy_r, 1, cfg)
+            frags.append(fr), valids.append(va), totals.append(th)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -97,6 +121,8 @@ _compare_jit = functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))(
 
 _stage_index = functools.partial(jax.jit, static_argnames=("k",))(build_index)
 _stage_revcomp = jax.jit(revcomp_device)
+_stage_self_seeds = functools.partial(jax.jit, static_argnames=("cfg",))(
+    self_seeds_fn)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_mode",
@@ -148,31 +174,35 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
         return out
 
     cy_f = cx if self_cmp else cy
-    idxX = timed("index_x", _stage_index, cx, cfg.k)
 
     frags, valids, totals = [], [], []
-    strands = ([0] if "f" in cfg.strands else []) + \
-              ([1] if "r" in cfg.strands else [])
-    for strand in strands:
-        if self_cmp and strand == 0:
-            cy_cmp, idxY, mode = cx, idxX, "f"
-        elif strand == 0:
-            cy_cmp = cy_f
+    if self_cmp:
+        # ONE program: canonical index + both strands' joins + thinning
+        seeds = timed("seeds", _stage_self_seeds, cx, cfg)
+        for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
+            cy_cmp = cx if strand == 0 else timed("revcomp",
+                                                  _stage_revcomp, cx)
+            frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
+                         cx, cy_cmp, cfg, strand)
+            frags.append(frag), valids.append(sv), totals.append(total)
+    else:
+        idxX = timed("index_x", _stage_index, cx, cfg.k)
+        strands = ([0] if "f" in cfg.strands else []) + \
+                  ([1] if "r" in cfg.strands else [])
+        for strand in strands:
+            if strand == 0:
+                cy_cmp = cy_f
+            else:
+                cy_cmp = timed("revcomp", _stage_revcomp, cy_f)
             idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
-            mode = None
-        else:
-            cy_cmp = timed("revcomp", _stage_revcomp, cy_f)
-            idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
-            mode = "r" if self_cmp else None
-        hpx, hpy, hv, total = timed(
-            "join", _stage_join, idxX, idxY,
-            jnp.int32(cy_cmp.shape[0]), cfg, mode,
-            same_index=(self_cmp and strand == 0))
-        spx, spy, sv, n_seeds = timed(
-            "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
-        frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
-                     cx, cy_cmp, cfg, strand)
-        frags.append(frag), valids.append(sv), totals.append(total)
+            hpx, hpy, hv, total = timed(
+                "join", _stage_join, idxX, idxY,
+                jnp.int32(cy_cmp.shape[0]), cfg, None)
+            spx, spy, sv, n_seeds = timed(
+                "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
+            frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
+                         cx, cy_cmp, cfg, strand)
+            frags.append(frag), valids.append(sv), totals.append(total)
 
     allfrag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     allvalid = jnp.concatenate(valids)

@@ -1,0 +1,99 @@
+"""Both-strand seed hits of a self-comparison from ONE canonical index
+(SURVEY.md §2.2 "Hit finding"; replaces the revcomp-index build + sorted
+rank join of the generic path for the self-comparison pipeline).
+
+Bit-identical hit SETS to oracle.pipeline.find_hits on (X, X) and
+(X, revcomp(X)) — order differs, which is immaterial: the downstream
+thinning sort (seeds/filter.py) is a total order on hit values.
+
+Per canonical-index entry i (flag s, run [lo, mid) ++ [mid, hi) split by
+flag, pos-sorted within each subrun — index/canonical.py):
+
+  forward partners  = same-flag subrun entries AFTER me      [i+1, own_end)
+                      (palindromic runs are all flag 0, so own = whole run)
+  reverse partners  = opposite-flag subrun entries with pos >= mine
+                      [alt_start + alt_before, alt_end)
+                      palindromic run: whole run from me on  [i, hi)
+                      (p == q kept once — the oracle's "a seed that is
+                      its own reverse complement" rule)
+
+Occurrence caps mirror the oracle exactly: a k-mer with more than
+max_occ occurrences on either side contributes nothing; forward sides
+are both |own|, reverse sides are |own| and |alt| (palindromic: whole
+run on both sides, both strands).
+
+Reverse hits are emitted in revcomp-space y coordinates
+(py = y_len - k - q), matching what the downstream extension against
+revcomp(X) expects.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..index.canonical import CanonIndex
+
+
+def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Slot t of the static-capacity output -> (source entry, partner
+    index, valid, total). Same scatter+cummax owner recovery as
+    seeds/join.py."""
+    n = counts.shape[0]
+    xi = jnp.arange(n, dtype=jnp.int32)
+    csum = jnp.cumsum(counts)
+    total = csum[-1] if n > 0 else jnp.int32(0)
+    offs = csum - counts
+    t = jnp.arange(capacity, dtype=jnp.int32)
+    bidx = jnp.where(counts > 0, jnp.minimum(offs, capacity), capacity)
+    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].max(xi)
+    src = jax.lax.cummax(owner[:capacity])
+    srcc = jnp.minimum(src, n - 1)
+    y_idx = lo[srcc] + (t - offs[srcc])
+    return srcc, y_idx, t < total, total
+
+
+def join_self_canonical(
+    ci: CanonIndex, k: int, max_occ: int, capacity: int, y_len: int,
+) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+           Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """-> ((hpx_f, hpy_f, valid_f, total_f), (hpx_r, hpy_r, valid_r,
+    total_r)) — forward and reverse strand hits, static capacity each."""
+    n = ci.pos.shape[0]
+    xi = jnp.arange(n, dtype=jnp.int32)
+    is_valid = xi < ci.n_valid
+    own_lo = jnp.where(ci.flag == 0, ci.run_lo, ci.run_mid)
+    own_hi = jnp.where(ci.flag == 0, ci.run_mid, ci.run_hi)
+    alt_lo = jnp.where(ci.flag == 0, ci.run_mid, ci.run_lo)
+    alt_hi = jnp.where(ci.flag == 0, ci.run_hi, ci.run_mid)
+    own_n = own_hi - own_lo
+    alt_n = alt_hi - alt_lo
+    run_n = ci.run_hi - ci.run_lo
+
+    # ---- forward: same k-mer, px < py ----
+    occ_f = jnp.where(ci.palin, run_n, own_n)        # both sides equal
+    keep_f = is_valid & (occ_f <= max_occ)
+    f_lo = xi + 1
+    f_hi = jnp.where(ci.palin, ci.run_hi, own_hi)
+    cnt_f = jnp.where(keep_f, jnp.maximum(f_hi - f_lo, 0), 0)
+    src_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity)
+    hpx_f = jnp.where(valid_f, ci.pos[src_f], 0)
+    hpy_f = jnp.where(valid_f, ci.pos[jnp.clip(yi_f, 0, n - 1)], 0)
+
+    # ---- reverse: km_p == rc(km_q), p <= q (palindrome self kept once) ----
+    occ_rx = jnp.where(ci.palin, run_n, own_n)       # km_p occurrences in X
+    occ_ry = jnp.where(ci.palin, run_n, alt_n)       # in revcomp(X)
+    keep_r = is_valid & (occ_rx <= max_occ) & (occ_ry <= max_occ)
+    r_lo = jnp.where(ci.palin, xi, alt_lo + ci.alt_before)
+    r_hi = jnp.where(ci.palin, ci.run_hi, alt_hi)
+    cnt_r = jnp.where(keep_r, jnp.maximum(r_hi - r_lo, 0), 0)
+    src_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity)
+    hpx_r = jnp.where(valid_r, ci.pos[src_r], 0)
+    q = ci.pos[jnp.clip(yi_r, 0, n - 1)]
+    hpy_r = jnp.where(valid_r, jnp.int32(y_len - k) - q, 0)
+
+    return ((hpx_f, hpy_f, valid_f, total_f),
+            (hpx_r, hpy_r, valid_r, total_r))
