@@ -33,7 +33,12 @@ class Config:
     x_drop: int = 40             # stop when score falls this far below running max
     max_extend: int = 2048       # hard cap on per-side extension length (static shape)
     # banded affine-gap DP (BASELINE.json: "banded affine-gap DP kernel")
-    band: int = 16               # band half-width around the seed diagonal
+    band: int = 15               # band half-width around the seed diagonal;
+                                 # default 15 -> width W = 2*band+1 = 31,
+                                 # which fills exactly four (8,128) VPU
+                                 # registers per DP row on TPU (band 16
+                                 # would pad W=33 to 40 sublanes, ~25%
+                                 # wasted vector work per row)
     gap_open: int = 8            # positive penalty; a gap of length g costs
     gap_extend: int = 2          #   gap_open + g * gap_extend (Gotoh affine)
     banded_impl: str = "auto"    # "auto" | "xla" | "pallas" — banded kernel

@@ -57,6 +57,11 @@ def _down(x, d, fill):
     return jnp.concatenate([jnp.full_like(x[:d], fill), x[:-d]], axis=0)
 
 
+def _upn(x, d, fill):
+    """result[o] = x[o+d]; last d rows = fill."""
+    return jnp.concatenate([x[d:], jnp.full_like(x[:d], fill)], axis=0)
+
+
 def _scan_max_plus(w, wid, WP):
     """Inclusive scan along sublanes of the max-plus combine with
     argmax-LAST tie rule (later offset wins w-ties) — Hillis-Steele."""
@@ -125,9 +130,14 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
         IH = jnp.zeros((WP, SB), jnp.int32)
         IE = jnp.zeros((WP, SB), jnp.int32)
         best = jnp.zeros((1, SB), jnp.int32)
-        bei = jnp.zeros((1, SB), jnp.int32)
-        bej = jnp.zeros((1, SB), jnp.int32)
-        bid = jnp.zeros((1, SB), jnp.int32)
+        # deferred endpoint tracking: each band cell keeps ITS best
+        # (score, earliest row, idents); the global winner with the
+        # sequential tie rules is recovered once at loop end (see the
+        # final reduction) instead of two cross-sublane reductions and
+        # a candidate merge EVERY row.
+        Hc = jnp.full((WP, SB), NEG_INF, jnp.int32)
+        ic = jnp.zeros((WP, SB), jnp.int32)
+        idc = jnp.zeros((WP, SB), jnp.int32)
 
         def cond(state):
             i_base, H = state[0], state[1]
@@ -139,7 +149,7 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
             return (i_base < E) & jnp.any(H > NEG_INF)
 
         def body(state):
-            i_base, H, Eg, IH, IE, best, bei, bej, bid = state
+            i_base, H, Eg, IH, IE, best, Hc, ic, idc = state
             xb = pl.multiple_of(i_base, G)
             xblk = sx_ref[pl.ds(xb, G), :].astype(jnp.int32)    # (G, SB)
             yblk = sy_ref[pl.ds(xb, YB), :].astype(jnp.int32)   # (YB, SB)
@@ -188,15 +198,11 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                 Hn = jnp.maximum(ME, F)
                 IHn = jnp.where(ME >= F, IME, wid_ex)
 
-                # endpoint candidate: row max, tie -> smallest o (== j)
-                g = jnp.max(Hn, axis=0, keepdims=True)             # (1, SB)
-                is_mx = Hn == g
-                ob = jnp.min(jnp.where(is_mx, o_col, WP), axis=0,
-                             keepdims=True)
-                jb = i - b + ob
-                idb = jnp.sum(jnp.where(o_col == ob, IHn, 0), axis=0,
-                              keepdims=True)
-                better = (g > best) | ((g == best) & (i + jb < bei + bej))
+                # per-cell candidate: strictly-greater keeps the cell's
+                # EARLIEST maximum (for fixed o, i+j grows with i)
+                Hn_pre = Hn
+                upc = Hn_pre > Hc
+                g = jnp.max(Hn_pre, axis=0, keepdims=True)         # (1, SB)
 
                 prune = Hn < jnp.maximum(best, g) - xd
                 Hn = jnp.where(prune, NEG_INF, Hn)
@@ -208,18 +214,45 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                     Enew = jnp.where(upd, Enew, Eg)    # branch, no cost)
                     IHn = jnp.where(upd, IHn, IH)
                     IEnew = jnp.where(upd, IEnew, IE)
-                    better = better & upd
-                bei = jnp.where(better, i, bei)
-                bej = jnp.where(better, jb, bej)
-                bid = jnp.where(better, idb, bid)
-                best = jnp.where(better, g, best)
+                    upc = upc & upd
+                    g = jnp.where(upd, g, NEG_INF)
+                Hc = jnp.where(upc, Hn_pre, Hc)
+                ic = jnp.where(upc, i, ic)
+                idc = jnp.where(upc, IHn, idc)
+                best = jnp.maximum(best, g)
                 H, Eg, IH, IE = Hn, Enew, IHn, IEnew
 
-            return (i_base + G, H, Eg, IH, IE, best, bei, bej, bid)
+            return (i_base + G, H, Eg, IH, IE, best, Hc, ic, idc)
 
-        state = (jnp.int32(0), H, Eg, IH, IE, best, bei, bej, bid)
+        state = (jnp.int32(0), H, Eg, IH, IE, best, Hc, ic, idc)
         state = jax.lax.while_loop(cond, body, state)
-        _, Hend, _, _, _, best, bei, bej, bid = state[:9]
+        _, Hend, _, _, _, best, Hc, ic, idc = state[:9]
+
+        # final endpoint reduction, replaying the sequential rule as a
+        # total order: score desc, then i+j asc, then i asc (same-row
+        # ties have distinct i+j, so "min o among row maxima" is the
+        # i+j rule; equal (score, i+j) across rows keeps the earlier
+        # row). Baseline candidate (0 at i=j=0) wins any <=0 score.
+        ijc = ic + ic + (o_col - b)                    # i + j per cell
+        rh, rij, ri, rid = Hc, ijc, ic, idc
+        d = 1
+        while d < WP:
+            sh = _upn(rh, d, NEG_INF)
+            sij = _upn(rij, d, 0)
+            si = _upn(ri, d, 0)
+            sid = _upn(rid, d, 0)
+            take = (sh > rh) | ((sh == rh) & ((sij < rij) |
+                                              ((sij == rij) & (si < ri))))
+            rh = jnp.where(take, sh, rh)
+            rij = jnp.where(take, sij, rij)
+            ri = jnp.where(take, si, ri)
+            rid = jnp.where(take, sid, rid)
+            d *= 2
+        win = rh[0:1] > 0                              # beats baseline 0
+        best = jnp.where(win, rh[0:1], 0)
+        bei = jnp.where(win, ri[0:1], 0)
+        bej = jnp.where(win, rij[0:1] - ri[0:1], 0)
+        bid = jnp.where(win, rid[0:1], 0)
         alive = jnp.max((Hend > NEG_INF).astype(jnp.int32), axis=0,
                         keepdims=True)     # cells left after the row cap
         out = jnp.concatenate(

@@ -71,16 +71,24 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     rc = revcomp_kmer(km, k)
     canon = jnp.minimum(km, rc)
     flag = (km != canon).astype(jnp.int32)
-    palin = km == rc
+    palin = (km == rc).astype(jnp.int32)
     canon = jnp.where(valid, canon, SENTINEL)
-    invalid = (~valid).astype(jnp.int32)
+    # no separate `invalid` key: a VALID canon is min(km, rc(km)) and can
+    # never be SENTINEL (rc(SENTINEL) == 0), so the sentinel groups all
+    # invalid entries strictly after every valid run on its own.
     n = km.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    # view A: (canon, invalid, pos) — strands interleaved in pos order.
+    # Sort operand packing: flag and palin ride in the position key's low
+    # bits (pos dominant, so within-run order is still by pos), keeping
+    # each lax.sort at 2-3 operands. Requires pos < 2^29 (per-sequence
+    # genomes < 536 Mbp — int32 coordinates bound the pipeline anyway).
+    posfp = (pos << 2) | (flag << 1) | palin
+
+    # view A: (canon, pos) — strands interleaved in pos order.
     # Per entry: how many opposite-flag entries of my run precede me.
-    cA, iA, pA, fA, plA = jax.lax.sort(
-        (canon, invalid, pos, flag, palin.astype(jnp.int32)), num_keys=3)
+    cA, pfA = jax.lax.sort((canon, posfp), num_keys=2)
+    fA = (pfA >> 1) & 1
     loA, _ = _run_bounds(cA)
     idx = jnp.arange(n, dtype=jnp.int32)
     ones_cum = jnp.cumsum(fA)                        # inclusive count of flag-1
@@ -89,10 +97,14 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     n0_before = (idx - loA) - n1_before
     alt_beforeA = jnp.where(fA == 1, n0_before, n1_before)
 
-    # view B: (canon, invalid, flag, pos) — the index order used for
-    # expansion; carry pos/alt_before/palin through as payload
-    cB, iB, fB, pB, altB, plB = jax.lax.sort(
-        (cA, iA, fA, pA, alt_beforeA, plA), num_keys=4)
+    # view B: (canon, flag, pos) — the index order used for expansion;
+    # flag/palin move to the TOP bits (palin is constant per run, so it
+    # never reorders within a run); alt_before rides as payload
+    keyB = (pfA & 1) << 31 | ((pfA & 2) << 29) | (pfA >> 2)
+    cB, kB, altB = jax.lax.sort((cA, keyB, alt_beforeA), num_keys=2)
+    pB = kB & ((1 << 29) - 1)
+    fB = (kB >> 30) & 1
+    plB = (kB >> 31) & 1
     loB, hiB = _run_bounds(cB)
     loB = jnp.minimum(loB, n_valid)
     hiB = jnp.minimum(hiB, n_valid)

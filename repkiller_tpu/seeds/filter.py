@@ -15,17 +15,24 @@ import jax
 import jax.numpy as jnp
 
 
+INT32_MAX = jnp.int32(0x7FFFFFFF)
+
+
 def filter_hits(
     hpx: jnp.ndarray, hpy: jnp.ndarray, hvalid: jnp.ndarray, min_hit_dist: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (px, py, valid, n_kept); kept hits dense at the front, sorted by
-    (diag, px)."""
+    (diag, px).
+
+    Sort operand packing: the validity flag rides in the diagonal key
+    (invalid -> INT32_MAX, unreachable for |diag| < 2^31 genuine hits),
+    and py is payload, not key — (diag, px) already determines py, so
+    (diagI, px) is a total order over hits. 3 operands / 2 keys per
+    pass vs the naive 4 / 4."""
     diag = hpx - hpy                     # int32; genomes < 2^31 bp
-    invalid = (~hvalid).astype(jnp.int32)
-    inv_s, diag_s, px_s, py_s = jax.lax.sort(
-        (invalid, diag, hpx, hpy), num_keys=4
-    )
-    valid_s = inv_s == 0
+    diagI = jnp.where(hvalid, diag, INT32_MAX)
+    diag_s, px_s, py_s = jax.lax.sort((diagI, hpx, hpy), num_keys=2)
+    valid_s = diag_s != INT32_MAX
     bucket = px_s // jnp.int32(min_hit_dist)
     first = jnp.ones_like(px_s, dtype=bool)
     first = first.at[1:].set(
@@ -34,8 +41,8 @@ def filter_hits(
     keep = valid_s & first
 
     # compact kept hits to the front, preserving (diag, px) order
-    inv2 = (~keep).astype(jnp.int32)
-    _, diag_c, px_c, py_c = jax.lax.sort((inv2, diag_s, px_s, py_s), num_keys=4)
+    diag2 = jnp.where(keep, diag_s, INT32_MAX)
+    _, px_c, py_c = jax.lax.sort((diag2, px_s, py_s), num_keys=2)
     n_kept = jnp.sum(keep.astype(jnp.int32))
     valid_c = jnp.arange(px_c.shape[0], dtype=jnp.int32) < n_kept
     px_c = jnp.where(valid_c, px_c, 0)
