@@ -33,8 +33,11 @@ def main():
 
     size = int(args.size * args.scale)
     a, b = make_strain_pair(size, seed=77)
+    # near-identical strain pair: the shared backbone alone contributes
+    # ~5.4M forward hits at this scale (the 2^20 default overflows — the
+    # exact-count capacity check catches it rather than truncating)
     cfg = Config(k=12, strands="fr", extend_mode="banded",
-                 hit_capacity=1 << 20, max_extend=2048)
+                 hit_capacity=1 << 23, max_extend=2048)
     run_timed("ecoli_pair_cross",
               lambda: device.compare(a, b, cfg), args.runs,
               a.shape[0] + b.shape[0])
