@@ -26,6 +26,24 @@ class Config:
     min_hit_dist: int = 32       # on one diagonal, drop hits closer than this to
                                  # the previously kept hit (posX distance)
 
+    # ---- seed chaining / coverage gating (SURVEY.md §1 L3 "chaining";
+    # GECKO FragHits skips hits covered by the previous fragment on the
+    # same diagonal — this is the deterministic, shard/window-invariant
+    # TPU formulation of that skip) ----
+    gate_stride: int = 2048      # bucket width (bp of posX) for coverage
+                                 # gating: the FIRST seed of every
+                                 # (diagonal, px // gate_stride) bucket is
+                                 # an ANCHOR and always extends; a later
+                                 # seed of the same bucket is skipped iff
+                                 # its k-mer window lies inside its
+                                 # anchor's fragment x-extent (the
+                                 # fragment already covers it). 0 = off
+                                 # (every thinned seed extends).
+                                 # Bucket membership depends only on
+                                 # (diag, px), so gating is invariant to
+                                 # sharding and to window splits that are
+                                 # multiples of gate_stride.
+
     # ---- extension (SURVEY.md §2.2: FragHits equivalent) ----
     extend_mode: str = "ungapped"  # "ungapped" (x-drop) | "banded" (affine-gap DP)
     match: int = 4               # match score (GECKO-style +4)
@@ -65,13 +83,27 @@ class Config:
                                      # fragment per surviving seed)
 
     # ---- streaming / sharding (SURVEY.md §2.3) ----
-    window: int = 1 << 22        # query window length (bp) for data-parallel streaming
-    overlap: int = 4096          # window overlap; must be >= 2*max_extend so no
-                                 # fragment is lost at a boundary (validated below)
+    window: int = 1 << 22        # query window length (bp) for data-parallel
+                                 # streaming. No overlap is needed: windows
+                                 # partition seed START positions and every
+                                 # window joins/extends against the full
+                                 # HBM-resident index and sequences
+                                 # (dist/windows.py), so no fragment can be
+                                 # lost at a boundary. The streaming driver
+                                 # rounds the window to a multiple of both
+                                 # min_hit_dist and gate_stride so thinning
+                                 # buckets and gate buckets never span a
+                                 # window boundary (output invariance).
 
     def __post_init__(self):
         if not (1 <= self.k <= 16):
             raise ValueError(f"k must be in [1,16], got {self.k}")
+        if self.gate_stride < 0:
+            raise ValueError(f"gate_stride must be >= 0, got {self.gate_stride}")
+        if self.min_hit_dist < 1:
+            raise ValueError(f"min_hit_dist must be >= 1, got {self.min_hit_dist}")
+        if self.window < 1:
+            raise ValueError(f"window must be >= 1, got {self.window}")
         if self.extend_mode not in ("ungapped", "banded"):
             raise ValueError(f"unknown extend_mode {self.extend_mode!r}")
         if self.banded_impl not in ("auto", "xla", "pallas"):

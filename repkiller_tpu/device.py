@@ -25,7 +25,7 @@ from .index.canonical import build_canonical_index
 from .seeds.join import join_hits
 from .seeds.self_join import join_self_canonical
 from .seeds.filter import filter_hits
-from .extend import extend_dispatch
+from .chain.diagonal import extend_gated
 from .chain.merge import merge_accept
 from .oracle import pipeline as orc
 
@@ -51,9 +51,10 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, cfg: Config):
     )
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
 
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
-    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
-    return frag, svalid, total_hits
+    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
+                                n_live=n_seeds)
+    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    return frag, fvalid, total_hits
 
 
 def self_seeds_fn(cx, cfg: Config):
@@ -85,10 +86,10 @@ def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
         seeds = self_seeds_fn(cx, cfg)
         for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
             cy_cmp = cx if strand == 0 else revcomp_device(cx)
-            frag = extend_dispatch(spx, spy, sv, cx, cy_cmp, cfg,
-                                   n_live=n_seeds)
-            frag["strand"] = jnp.where(sv, jnp.int32(strand), 0)
-            frags.append(frag), valids.append(sv), totals.append(total)
+            frag, fv = extend_gated(spx, spy, sv, cx, cy_cmp, cfg,
+                                    n_live=n_seeds)
+            frag["strand"] = jnp.where(fv, jnp.int32(strand), 0)
+            frags.append(frag), valids.append(fv), totals.append(total)
     else:
         idxX = build_index(cx, cfg.k)
         if "f" in cfg.strands:
@@ -152,9 +153,9 @@ def _stage_extend(spx, spy, svalid, n_seeds, cx, cy, cfg: Config, strand: int,
     # dispatch instead of two on the ~22 ms/dispatch axon relay
     if rev_y:
         cy = revcomp_device(cy)
-    frag = extend_dispatch(spx, spy, svalid, cx, cy, cfg, n_live=n_seeds)
-    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
-    return frag
+    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy, cfg, n_live=n_seeds)
+    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    return frag, fvalid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "y_len"))
@@ -185,9 +186,9 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
         # ONE program: canonical index + both strands' joins + thinning
         seeds = timed("seeds", _stage_self_seeds, cx, cfg)
         for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
-            frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
-                         cx, cx, cfg, strand, rev_y=(strand == 1))
-            frags.append(frag), valids.append(sv), totals.append(total)
+            frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
+                             cx, cx, cfg, strand, rev_y=(strand == 1))
+            frags.append(frag), valids.append(fv), totals.append(total)
     else:
         idxX = timed("index_x", _stage_index, cx, cfg.k)
         strands = ([0] if "f" in cfg.strands else []) + \
@@ -203,9 +204,9 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
                 jnp.int32(cy_cmp.shape[0]), cfg, None)
             spx, spy, sv, n_seeds = timed(
                 "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
-            frag = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
-                         cx, cy_cmp, cfg, strand)
-            frags.append(frag), valids.append(sv), totals.append(total)
+            frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
+                             cx, cy_cmp, cfg, strand)
+            frags.append(frag), valids.append(fv), totals.append(total)
 
     allfrag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     allvalid = jnp.concatenate(valids)

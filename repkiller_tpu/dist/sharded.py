@@ -42,7 +42,7 @@ from ..config import Config
 from ..index.build import build_index
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
-from ..extend import extend_dispatch
+from ..chain.diagonal import extend_gated
 from ..chain.merge import merge_accept
 from ..device import revcomp_device
 from ..oracle import pipeline as orc
@@ -102,9 +102,10 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     spy = jax.lax.with_sharding_constraint(spy, sh)
     svalid = jax.lax.with_sharding_constraint(svalid, sh)
 
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
-    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
-    return frag, svalid, totals
+    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
+                                n_live=n_seeds)
+    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    return frag, fvalid, totals
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_cmp", "mesh", "win",

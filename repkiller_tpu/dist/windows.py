@@ -39,7 +39,7 @@ from ..config import Config
 from ..index.build import build_index
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
-from ..extend import extend_dispatch
+from ..chain.diagonal import extend_gated
 from ..chain.merge import merge_accept
 from ..device import revcomp_device
 from ..oracle import pipeline as orc
@@ -60,9 +60,10 @@ def _window_step(cx_pad, cx, cy_cmp, idxY, idxX_occ, w0, cfg: Config,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
         self_mode=self_mode, y_len=cy_cmp.shape[0], occ_idx=idxX_occ)
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hv, cfg.min_hit_dist)
-    frag = extend_dispatch(spx, spy, svalid, cx, cy_cmp, cfg, n_live=n_seeds)
-    frag["strand"] = jnp.where(svalid, jnp.int32(strand), 0)
-    return frag, svalid, n_seeds, total
+    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
+                                n_live=n_seeds)
+    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    return frag, fvalid, n_seeds, total
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "y_len"))
@@ -101,8 +102,14 @@ def compare_streamed(
         frag["group"] = np.zeros(0, np.int32)
         return frag
 
+    # windows must align with thinning buckets (min_hit_dist) AND gate
+    # buckets (gate_stride) so neither spans a boundary — that alignment
+    # is what makes the streamed output bit-identical to the single-shot
+    # pipeline for any window size
+    quantum = int(np.lcm(cfg.min_hit_dist,
+                         max(cfg.gate_stride, 1)))
     win = int(window or cfg.window)
-    win = max(cfg.min_hit_dist, win - win % cfg.min_hit_dist)
+    win = max(quantum, win - win % quantum)
     n_pos = cx.shape[0] - cfg.k + 1
     n_win = -(-n_pos // win)
     pad_to = n_win * win + cfg.k - 1

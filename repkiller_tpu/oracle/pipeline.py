@@ -152,6 +152,51 @@ def filter_hits(px: np.ndarray, py: np.ndarray, cfg: Config) -> Tuple[np.ndarray
 
 
 # --------------------------------------------------------------------------
+# coverage gating (SURVEY.md §1 L3 "chaining" / §2.2 "Extension": the
+# GECKO-FragHits skip of hits already covered by a previous fragment on the
+# same diagonal, reformulated deterministically: the first seed of every
+# (diagonal, px // gate_stride) bucket is an anchor and always extends; a
+# later seed of the bucket is skipped iff its k-mer window [px, px+k-1]
+# lies inside its anchor's fragment x-extent. Bucket-local coverage makes
+# the decision a pure function of the bucket's seeds, hence invariant to
+# sharding and to window splits at gate_stride multiples.)
+# --------------------------------------------------------------------------
+
+def gate_anchors(px: np.ndarray, py: np.ndarray, cfg: Config) -> np.ndarray:
+    """Anchor mask over seeds sorted by (diag, px): True for the first seed
+    of each (diagonal, px // gate_stride) bucket."""
+    n = px.shape[0]
+    anchor = np.ones(n, dtype=bool)
+    if n == 0:
+        return anchor
+    diag = px.astype(np.int64) - py.astype(np.int64)
+    bucket = px.astype(np.int64) // cfg.gate_stride
+    anchor[1:] = (diag[1:] != diag[:-1]) | (bucket[1:] != bucket[:-1])
+    return anchor
+
+
+def extend_gated(px: np.ndarray, py: np.ndarray,
+                 cx: np.ndarray, cy: np.ndarray,
+                 cfg: Config) -> Dict[str, np.ndarray]:
+    """Extension with coverage gating (gate_stride > 0) or plain extension.
+
+    Seeds MUST be sorted by (diag, px) — filter_hits' output order. Gated
+    seeds produce no fragment; the result is anchors' fragments followed by
+    surviving non-anchors' (order is irrelevant: merge_fragments re-sorts).
+    """
+    if cfg.gate_stride <= 0 or px.shape[0] == 0:
+        return _extend_dispatch(px, py, cx, cy, cfg)
+    anchor = gate_anchors(px, py, cfg)
+    fa = _extend_dispatch(px[anchor], py[anchor], cx, cy, cfg)
+    ordinal = np.cumsum(anchor) - 1          # each seed's bucket-anchor slot
+    a_s, a_e = fa["xStart"][ordinal], fa["xEnd"][ordinal]
+    covered = (~anchor) & (a_s <= px) & (a_e >= px + cfg.k - 1)
+    surv = (~anchor) & (~covered)
+    fs = _extend_dispatch(px[surv], py[surv], cx, cy, cfg)
+    return {f: np.concatenate([fa[f], fs[f]]) for f in FRAG_FIELDS}
+
+
+# --------------------------------------------------------------------------
 # ungapped x-drop extension (SURVEY.md §2.2 "Extension", ungapped family)
 # --------------------------------------------------------------------------
 
@@ -486,7 +531,7 @@ def compare(
         idxY = idxX if self_cmp else build_index(cy_f, cfg.k)
         px, py = find_hits(idxX, idxY, cfg, self_mode="f" if self_cmp else None)
         px, py = filter_hits(px, py, cfg)
-        fr = _extend_dispatch(px, py, codesX, cy_f, cfg)
+        fr = extend_gated(px, py, codesX, cy_f, cfg)
         fr["strand"][:] = 0
         frags.append(fr)
     if "r" in cfg.strands:
@@ -496,7 +541,7 @@ def compare(
                            self_mode="r" if self_cmp else None,
                            y_len=cy_r.shape[0])
         px, py = filter_hits(px, py, cfg)
-        fr = _extend_dispatch(px, py, codesX, cy_r, cfg)
+        fr = extend_gated(px, py, codesX, cy_r, cfg)
         fr["strand"][:] = 1
         frags.append(fr)
 

@@ -11,7 +11,10 @@ from repkiller_tpu.dist.windows import compare_streamed
 from repkiller_tpu.oracle import pipeline as orc
 from repkiller_tpu.utils import synth
 
-CFG = Config(k=12, strands="fr", hit_capacity=1 << 13, max_extend=256)
+# gate_stride=256 so the window quantum (lcm(min_hit_dist, gate_stride))
+# stays 256 and the small test windows below survive rounding
+CFG = Config(k=12, strands="fr", hit_capacity=1 << 13, max_extend=256,
+             gate_stride=256)
 
 
 def _assert_frag_equal(got, want):

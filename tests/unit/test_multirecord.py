@@ -10,7 +10,11 @@ from repkiller_tpu import Config, api
 from repkiller_tpu.io import codec, fasta
 from repkiller_tpu.utils import synth
 
-CFG = Config(k=12, strands="f", hit_capacity=1 << 13, max_extend=256,
+# max_extend must exceed the planted 300 bp repeat: when the per-side cap
+# binds mid-repeat, coverage gating's anchor fragment is truncated and the
+# overlap-run winner can start past the repeat start (see chain/diagonal.py
+# "cap-binding caveat") — the cap is a static-shape guard, not a tuning knob
+CFG = Config(k=12, strands="f", hit_capacity=1 << 13, max_extend=512,
              min_len=40)
 
 
