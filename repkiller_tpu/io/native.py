@@ -26,7 +26,23 @@ import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_ROOT, "native", "repkiller_io.cpp")
-_SO = os.path.join(_ROOT, "native", "librepkiller_io.so")
+
+
+def _so_path() -> str:
+    """Build target OUTSIDE the source tree (user cache dir), keyed by
+    source mtime so a changed .cpp never collides with a stale build."""
+    cache = os.environ.get("XDG_CACHE_HOME",
+                           os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(cache, "repkiller_tpu")
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        d = os.path.join(os.path.dirname(_SRC))   # last resort: next to src
+    tag = int(os.path.getmtime(_SRC)) if os.path.exists(_SRC) else 0
+    return os.path.join(d, f"librepkiller_io-{tag}.so")
+
+
+_SO = None   # resolved lazily in _load (depends on source mtime)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -40,23 +56,24 @@ _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
+    global _lib, _tried, _SO
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = (os.path.exists(_SO) and os.path.exists(_SRC)
-                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
-        if (not os.path.exists(_SO) or stale) and os.path.exists(_SRC):
+        if not os.path.exists(_SRC):
+            return None
+        _SO = _so_path()
+        if not os.path.exists(_SO):
             try:
+                tmp = _SO + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-fPIC", "-shared", "-pthread",
-                     "-std=c++17", "-o", _SO, _SRC],
+                     "-std=c++17", "-o", tmp, _SRC],
                     check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _SO)     # atomic: concurrent builds race safely
             except Exception:
                 return None
-        if not os.path.exists(_SO):
-            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
