@@ -72,6 +72,22 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--stage-timing", action="store_true",
                     help="also run the pipeline stage-by-stage and print "
                          "per-stage JSONL timings (forward strand)")
+    # Multi-host launch (SURVEY.md §3.4): one process per host, same
+    # command on every host with a distinct --process-id. Process 0 writes
+    # the outputs (dist.merge.write_on_host0); the fragment table itself is
+    # already globally merged by the in-jit all-gather.
+    pr.add_argument("--num-processes", type=int, default=1,
+                    help="total processes in the multi-host run")
+    pr.add_argument("--process-id", type=int, default=None,
+                    help="this process's rank (required if --num-processes>1)")
+    pr.add_argument("--coordinator", default="127.0.0.1:29477",
+                    help="rank-0 coordinator address host:port")
+    pr.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for the virtual-"
+                         "device harness) before the backend initialises")
+    pr.add_argument("--host-devices", type=int, default=None,
+                    help="virtual device count per host (cpu platform only; "
+                         "appends xla_force_host_platform_device_count)")
     _add_config_flags(pr)
 
     pg = sub.add_parser("group", help="cluster an existing fragments CSV")
@@ -83,8 +99,37 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _init_runtime(args: argparse.Namespace) -> None:
+    """Platform/device-count overrides and multi-host bring-up. Must run
+    before the first jax backend use. The sitecustomize in this image
+    imports jax and registers the TPU plugin at interpreter start, so env
+    vars are too late — jax.config.update is the reliable switch (same
+    trick as tests/conftest.py)."""
+    import os
+    if args.host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.host_devices}").strip()
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.num_processes > 1:
+        if args.process_id is None:
+            raise SystemExit("--process-id is required with --num-processes")
+        if args.backend != "sharded":
+            raise SystemExit("--num-processes>1 requires --backend sharded")
+        if args.platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from .dist.mesh import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     cfg = _config_from_args(args)
+    _init_runtime(args)
     src_x = sys.stdin.read() if args.fasta_x == "-" else args.fasta_x
     t0 = time.perf_counter()
 
@@ -100,13 +145,19 @@ def cmd_run(args: argparse.Namespace) -> int:
             profile_ctx.__exit__(None, None, None)
     dt = time.perf_counter() - t0
 
+    from .dist.merge import is_output_host, write_on_host0
+
     prefix = args.out_prefix
-    res.write_csv(prefix + ".frags.csv")
-    res.write_family_summary(prefix + ".families.csv")
-    res.write_intervals(prefix + ".repeats.bed")
-    if args.mask:
-        with open(prefix + ".masked.fasta", "w") as f:
-            f.write(res.masked_fasta())
+
+    def _write_all():
+        res.write_csv(prefix + ".frags.csv")
+        res.write_family_summary(prefix + ".families.csv")
+        res.write_intervals(prefix + ".repeats.bed")
+        if args.mask:
+            with open(prefix + ".masked.fasta", "w") as f:
+                f.write(res.masked_fasta())
+
+    write_on_host0(_write_all)
 
     if args.stage_timing:
         from .utils.metrics import profile_stages
@@ -122,10 +173,11 @@ def cmd_run(args: argparse.Namespace) -> int:
         "backend": args.backend,
     }
     log.info("run: %s", metrics)
-    print(json.dumps(metrics))
-    if args.metrics_json:
-        with open(args.metrics_json, "a") as f:
-            f.write(json.dumps(metrics) + "\n")
+    if is_output_host():
+        print(json.dumps(metrics))
+        if args.metrics_json:
+            with open(args.metrics_json, "a") as f:
+                f.write(json.dumps(metrics) + "\n")
     return 0
 
 

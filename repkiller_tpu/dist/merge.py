@@ -36,11 +36,23 @@ def gather_fragments(frag: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     from jax.experimental import multihost_utils
     from ..oracle import pipeline as orc
 
-    gathered = {
-        k: np.concatenate(
-            list(multihost_utils.process_allgather(v, tiled=False)))
-        for k, v in frag.items()
-    }
+    # Per-host blocks are ragged (window/row counts differ per host) but
+    # gloo/XLA collectives need uniform shapes and a globally consistent
+    # issue order: exchange counts first, pad every column to the max,
+    # gather in sorted-key order, then strip each host's padding.
+    keys = sorted(frag)
+    n_local = int(frag[keys[0]].shape[0]) if keys else 0
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.int64(n_local))).reshape(-1)
+    n_max = int(counts.max()) if counts.size else 0
+    gathered = {}
+    for k in keys:
+        v = np.asarray(frag[k])
+        pad = np.zeros(n_max - v.shape[0], dtype=v.dtype)
+        g = np.asarray(multihost_utils.process_allgather(
+            np.concatenate([v, pad]), tiled=False))
+        gathered[k] = np.concatenate(
+            [g[i, : counts[i]] for i in range(counts.shape[0])])
     return orc.canonical_sort(gathered)
 
 

@@ -131,7 +131,15 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     out, valid_out, n_frags = merge_accept(
         frag, valid, cfg.min_len, cfg.min_identity, y_len=cy_f.shape[0]
     )
-    return out, n_frags, jnp.stack(totals)
+    # Replicate the final table + totals across the whole mesh: this is
+    # SURVEY.md §3.4's "all_gather fragment tables" step. XLA rides ICI/DCN
+    # for the gather; afterwards every process holds the full result, so
+    # host-side reads (np.asarray) are legal under multi-process too.
+    rep = NamedSharding(mesh, P())
+    out = {k: jax.lax.with_sharding_constraint(v, rep) for k, v in out.items()}
+    n_frags = jax.lax.with_sharding_constraint(n_frags, rep)
+    totals = jax.lax.with_sharding_constraint(jnp.stack(totals), rep)
+    return out, n_frags, totals
 
 
 def compare_sharded(
@@ -167,9 +175,20 @@ def compare_sharded(
     cx_pad = np.full(pad_to, 4, np.uint8)       # N padding -> invalid k-mers
     cx_pad[: cx.shape[0]] = cx
 
+    def _global(arr):
+        # Single-process: a plain device array. Multi-process: every host
+        # holds the same full input (they all read the same FASTA), so a
+        # fully-replicated global array over the mesh is built from local
+        # data with no communication.
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        sh = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
     out, n_frags, totals = _compare_sharded_jit(
-        jnp.asarray(cx), jnp.asarray(cx_pad),
-        jnp.asarray(cx) if self_cmp else jnp.asarray(cy),
+        _global(cx), _global(cx_pad),
+        _global(cx) if self_cmp else _global(cy),
         cfg, self_cmp, mesh, int(win), int(cap_dev))
     totals = np.asarray(totals)
     if (totals > cap_dev).any():

@@ -1,0 +1,119 @@
+"""Real multi-process distributed tests (SURVEY.md §3.4, §4.4).
+
+Round-1 verdict: `jax.distributed.initialize` / dist.merge were never
+executed with >1 process. These tests launch TWO actual OS processes
+(gloo CPU collectives, 2 virtual devices each -> a 4-device global mesh)
+and prove:
+
+- the CLI multi-host path end-to-end: both ranks run the sharded
+  pipeline over the global mesh, rank 0 alone writes outputs, and the
+  files are byte-identical to a single-process run of the same inputs;
+- dist.merge.gather_fragments reassembles per-process row blocks into
+  the canonical global table identically on every rank.
+
+Everything rides XLA collectives — the same code path that runs over
+ICI/DCN on a real pod, minus the physical interconnect.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from repkiller_tpu.utils import synth
+
+REPO = Path(__file__).resolve().parents[2]
+TIMEOUT = 900  # first CPU compile of the sharded program dominates
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(cmd, cwd=REPO):
+    env = os.environ.copy()
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    return subprocess.Popen(
+        cmd, cwd=str(cwd), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _finish(procs):
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=TIMEOUT)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:\n{out}\nstderr:\n{err}"
+    return outs
+
+
+@pytest.fixture(scope="module")
+def fasta(tmp_path_factory):
+    g = synth.plant(2000, [(100, 3, 0.04, 1), (60, 2, 0.0, 0)], seed=23)
+    from repkiller_tpu.io import codec
+    path = tmp_path_factory.mktemp("mp") / "g.fasta"
+    path.write_text(">g\n" + codec.decode(g.codes) + "\n")
+    return path
+
+
+CFG_FLAGS = ["--k", "12", "--strands", "fr", "--hit-capacity", str(1 << 12),
+             "--max-extend", "128"]
+
+
+def test_two_process_cli_run(fasta, tmp_path):
+    port = _free_port()
+    base = [sys.executable, "-m", "repkiller_tpu.cli", "run", str(fasta),
+            "--backend", "sharded", "--platform", "cpu", "--host-devices", "2",
+            "--num-processes", "2", "--coordinator", f"127.0.0.1:{port}",
+            *CFG_FLAGS]
+    procs = [
+        _launch(base + ["--process-id", "0", "-o", str(tmp_path / "mp")]),
+        _launch(base + ["--process-id", "1", "-o", str(tmp_path / "mp_r1")]),
+    ]
+    _finish(procs)
+
+    # rank 0 wrote, rank 1 did not
+    assert (tmp_path / "mp.frags.csv").exists()
+    assert not (tmp_path / "mp_r1.frags.csv").exists()
+
+    # byte-identical to a single process doing the same comparison
+    single = _launch([sys.executable, "-m", "repkiller_tpu.cli", "run",
+                      str(fasta), "--backend", "sharded", "--platform", "cpu",
+                      "--host-devices", "4", "-o", str(tmp_path / "sp"),
+                      *CFG_FLAGS])
+    _finish([single])
+    for suffix in (".frags.csv", ".families.csv", ".repeats.bed"):
+        got = (tmp_path / ("mp" + suffix)).read_bytes()
+        want = (tmp_path / ("sp" + suffix)).read_bytes()
+        assert got == want, f"{suffix} differs between 2-process and 1-process"
+    assert len((tmp_path / "mp.frags.csv").read_bytes()) > 100
+
+
+def test_gather_fragments_mp():
+    port = _free_port()
+    worker = Path(__file__).parent / "_mp_gather_worker.py"
+    procs = [_launch([sys.executable, str(worker), str(port), str(pid), "2"])
+             for pid in range(2)]
+    outs = _finish(procs)
+    lines = []
+    for rc, out, err in outs:
+        ok = [ln for ln in out.splitlines() if ln.startswith("GATHER_OK")]
+        assert ok, f"no GATHER_OK line:\n{out}\n{err}"
+        lines.append(ok[0].split())
+    # identical checksum on both ranks; exactly one output host
+    assert lines[0][3] == lines[1][3]
+    assert sorted(ln[2] for ln in lines) == ["0", "1"]
