@@ -21,9 +21,17 @@ keeps the decision a pure function of the bucket's seeds, so the output
 is invariant to mesh shape and to window splits at gate_stride
 multiples — the §4.5 determinism contract.
 
-Cost: two stable argsorts + O(capacity) gathers around the two
-extension calls; both calls run inside the same jitted program, so no
-extra dispatch is paid on the axon relay.
+Cost: on the banded-Pallas hot path, gating is FUSED into the kernel's
+two-phase structure (extend/banded_pallas.extend_banded_pallas_gated):
+phase 1 runs over all seeds once, conservative phase-1 coverage gates
+which non-anchors reach the full-depth pass, and the exact oracle
+coverage test re-runs against the anchors' final extents — four extra
+capacity-sized gathers over the ungated cost, instead of the generic
+wrapper's second full extension pass (which measured 2.7x the ungated
+extension on the headline workload where 98.8% of seeds are anchors —
+benchmarks/gate_dissect.py). Other kernels (ungapped, XLA banded) use
+the generic anchors-then-survivors wrapper below; all paths are
+bit-identical (tests/unit/test_gate.py).
 
 Cap-binding caveat: when ``max_extend`` binds mid-repeat (repeat longer
 than the per-side cap), the anchor's fragment is truncated at the cap, so
@@ -39,10 +47,12 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..config import Config
 from ..extend import extend_dispatch
+from ..extend.banded_pallas import extend_banded_pallas_gated
 
 
 def extend_gated(
@@ -67,6 +77,18 @@ def extend_gated(
         (diag[1:] == diag[:-1]) & (bucket[1:] == bucket[:-1]),
     ])
     anchor = svalid & ~prev_same
+
+    banded_impl = cfg.banded_impl
+    if banded_impl == "auto":
+        banded_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if cfg.extend_mode == "banded" and banded_impl == "pallas":
+        # hot path: gating fused into the two-phase kernel structure
+        return extend_banded_pallas_gated(
+            spx, spy, svalid, anchor, cx, cy,
+            k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+            x_drop=cfg.x_drop, max_extend=cfg.max_extend, band=cfg.band,
+            gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+            n_live=n_live)
 
     # anchors to the front (stable: keeps (diag, px) order, which the
     # Pallas extender's n_live contract requires — live seeds dense)

@@ -471,6 +471,133 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     return outs[0], outs[1], outs[2], outs[3], outs[4]
 
 
+def extend_banded_pallas_gated(
+    px: jnp.ndarray, py: jnp.ndarray, seed_valid: jnp.ndarray,
+    anchor: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+    k: int, match: int, mismatch: int, x_drop: int, max_extend: int,
+    band: int, gap_open: int, gap_extend: int,
+    seed_chunk: int = 8192, interpret: bool | None = None,
+    n_live=None, packed: bool = True, phase1_rows: int = 192,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Coverage gating FUSED into the two-phase extension (chain/diagonal.py
+    semantics, banded-Pallas hot path) -> (frag dict, valid mask).
+
+    The generic anchors-then-survivors wrapper costs two full extension
+    passes (each with capacity-sized compaction sorts/gathers) even when
+    gating removes almost nothing — measured 2.7x the ungated extension on
+    the headline self-comparison, where 98.8% of seeds are their bucket's
+    anchor (benchmarks/gate_dissect.py, BENCH_r02 regression). Here gating
+    rides the two-phase structure instead, so its cost is four extra
+    capacity-sized gathers:
+
+      1. phase 1 (row cap ``phase1_rows``) runs over ALL seeds once — no
+         anchor reorder needed, results stay in slot order;
+      2. non-anchors whose k-mer window is covered by their bucket
+         anchor's PHASE-1 x-extent are gated immediately: phase-1
+         endpoints are lower bounds of full-depth endpoints (death at the
+         row cap is final, survivors only extend further — the jcap
+         argument in _make_kernel), so phase-1 coverage implies final
+         coverage and these seeds are exactly the oracle-gated ones;
+      3. one full-depth compacted pass per direction extends the seeds
+         still alive at the row cap that gating has not (yet) excluded —
+         the anchors plus possibly-surviving non-anchors. This is a
+         SUBSET of the ungated phase-2 set;
+      4. the exact oracle coverage test then re-runs against the anchors'
+         FINAL extents; the few non-anchors that were fully extended but
+         turn out covered are zeroed (work wasted on them is bounded by
+         the covered1/covered gap — anchors still growing past phase 1).
+
+    Output is bit-identical to oracle.pipeline.extend_gated
+    (tests/unit/test_gate.py): every reported fragment comes from the
+    same full-depth extension, and the gated set is exactly
+    ``~anchor & covered-by-final-anchor-extent``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if packed:
+        from ..io.codec_device import pack_2bit_device
+        px2 = pack_2bit_device(cx)
+        py2 = px2 if cy is cx else pack_2bit_device(cy)
+    else:
+        px2 = py2 = None
+
+    n = px.shape[0]
+    common = (match, mismatch, x_drop)
+    tail = (band, gap_open, gap_extend, seed_chunk, interpret)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # slot of my bucket's anchor = last anchor at or before me (valid seeds
+    # are dense at the front and their first row is an anchor, so this is
+    # well-defined wherever seed_valid holds)
+    anc_slot = jax.lax.cummax(jnp.where(anchor, idx, 0))
+    km1 = jnp.int32(k - 1)
+
+    def full_compact(base_off, step, need):
+        order = jnp.argsort(~need)                # stable: needed first
+        n2 = jnp.sum(need.astype(jnp.int32))
+        ei, ej, g, idn, _ = _direction(
+            px[order], py[order], need[order], cx, cy, base_off, step,
+            *common, max_extend, *tail, n_live=n2, packed_x=px2,
+            packed_y=py2)
+        inv = jnp.argsort(order)
+        return ei[inv], ej[inv], g[inv], idn[inv]
+
+    if max_extend > phase1_rows + band:
+        def phase1(base_off, step):
+            return _direction(
+                px, py, seed_valid, cx, cy, base_off, step, *common,
+                phase1_rows, *tail, n_live=n_live, packed_x=px2,
+                packed_y=py2, jcap_override=phase1_rows + band)
+
+        rei1, rej1, rg1, rid1, r_alive = phase1(k, +1)
+        lei1, lej1, lg1, lid1, l_alive = phase1(-1, -1)
+        a_s1 = (px - lei1)[anc_slot]
+        a_e1 = (px + km1 + rei1)[anc_slot]
+        covered1 = seed_valid & ~anchor & (a_s1 <= px) & (a_e1 >= px + km1)
+        maybe = seed_valid & ~covered1
+        need_r = maybe & (r_alive == 1)
+        need_l = maybe & (l_alive == 1)
+        rei2, rej2, rg2, rid2 = full_compact(k, +1, need_r)
+        lei2, lej2, lg2, lid2 = full_compact(-1, -1, need_l)
+        rei = jnp.where(need_r, rei2, rei1)
+        rej = jnp.where(need_r, rej2, rej1)
+        rg = jnp.where(need_r, rg2, rg1)
+        rid = jnp.where(need_r, rid2, rid1)
+        lei = jnp.where(need_l, lei2, lei1)
+        lej = jnp.where(need_l, lej2, lej1)
+        lg = jnp.where(need_l, lg2, lg1)
+        lid = jnp.where(need_l, lid2, lid1)
+    else:
+        # max_extend fits a single pass: extend everything full-depth and
+        # let the final coverage test discard the gated rows (identical
+        # output; covered seeds' extensions are computed then dropped)
+        rei, rej, rg, rid, _ = _direction(
+            px, py, seed_valid, cx, cy, k, +1, *common, max_extend, *tail,
+            n_live=n_live, packed_x=px2, packed_y=py2)
+        lei, lej, lg, lid, _ = _direction(
+            px, py, seed_valid, cx, cy, -1, -1, *common, max_extend, *tail,
+            n_live=n_live, packed_x=px2, packed_y=py2)
+
+    # exact oracle coverage against the anchors' final extents
+    a_s = (px - lei)[anc_slot]
+    a_e = (px + km1 + rei)[anc_slot]
+    covered = seed_valid & ~anchor & (a_s <= px) & (a_e >= px + km1)
+    valid_out = seed_valid & ~covered
+
+    seed_score = jnp.int32(k * match)
+    frag = {
+        "xStart": px - lei,
+        "yStart": py - lej,
+        "xEnd": px + km1 + rei,
+        "yEnd": py + km1 + rej,
+        "strand": jnp.zeros(n, jnp.int32),
+        "score": seed_score + lg + rg,
+        "idents": jnp.int32(k) + lid + rid,
+    }
+    frag["length"] = frag["xEnd"] - frag["xStart"] + 1
+    frag = {f: jnp.where(valid_out, v, 0) for f, v in frag.items()}
+    return frag, valid_out
+
+
 def extend_banded_pallas(
     px: jnp.ndarray, py: jnp.ndarray, seed_valid: jnp.ndarray,
     cx: jnp.ndarray, cy: jnp.ndarray,

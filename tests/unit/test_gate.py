@@ -79,6 +79,13 @@ GATE_CONFIGS = [
            max_extend=256),
     Config(k=12, strands="fr", gate_stride=128, extend_mode="banded", band=4,
            hit_capacity=1 << 14, max_extend=256),
+    # fused gated Pallas path (interpret mode off-TPU), two-phase branch
+    # (max_extend > phase1_rows + band = 196)
+    Config(k=12, strands="fr", gate_stride=128, extend_mode="banded", band=4,
+           banded_impl="pallas", hit_capacity=1 << 14, max_extend=256),
+    # fused gated Pallas path, single-pass branch (max_extend <= 196)
+    Config(k=12, strands="fr", gate_stride=128, extend_mode="banded", band=4,
+           banded_impl="pallas", hit_capacity=1 << 14, max_extend=128),
 ]
 
 
@@ -97,7 +104,7 @@ def test_gated_device_matches_oracle_self(ci):
     assert got["xStart"].shape[0] > 0
 
 
-@pytest.mark.parametrize("ci", [0, 2])
+@pytest.mark.parametrize("ci", [0, 2, 3, 4])
 def test_gated_device_matches_oracle_cross(ci):
     cfg = GATE_CONFIGS[ci]
     rng = np.random.default_rng(300 + ci)
