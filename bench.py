@@ -43,6 +43,10 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--strands", default="fr")
     ap.add_argument("--hit-capacity", type=int, default=1 << 20)
+    ap.add_argument("--seed-capacity", type=int, default=1 << 19,
+                    help="static thinned-seed bound (headline workload keeps "
+                         "~398k of 543k hits; a tight bound halves the "
+                         "capacity-sized extension overhead)")
     ap.add_argument("--max-extend", type=int, default=2048)
     ap.add_argument("--platform", default=None,
                     help="override jax platform (e.g. cpu for a smoke run)")
@@ -65,7 +69,9 @@ def main() -> int:
     print(f"# device: {dev}", file=sys.stderr)
 
     cfg = Config(k=args.k, strands=args.strands, extend_mode=args.mode,
-                 hit_capacity=args.hit_capacity, max_extend=args.max_extend)
+                 hit_capacity=args.hit_capacity,
+                 seed_capacity=args.seed_capacity,
+                 max_extend=args.max_extend)
     # E.-coli-like repeat content: a handful of IS-element-scale families
     fams = [(1024, 6, 0.02, 2), (768, 5, 0.05, 1), (512, 7, 0.0, 0),
             (1536, 3, 0.03, 1), (256, 8, 0.08, 2)]
@@ -76,19 +82,20 @@ def main() -> int:
     # remote compiler where the fused whole-pipeline program takes ~an
     # hour, failures are attributable, and stage walls are reported
     t0 = time.perf_counter()
-    out, n_frags, totals = device.compare_staged(codes, codes, cfg, True)
+    out, n_frags, totals, nseeds = device.compare_staged(codes, codes, cfg, True)
     jax.block_until_ready((out, n_frags, totals))
     compile_s = time.perf_counter() - t0
     print(f"# warmup (compile+run): {compile_s:.1f}s; fragments={int(n_frags)} "
           f"hit totals={list(map(int, totals))}", file=sys.stderr)
     assert int(n_frags) > 0, "bench produced no fragments — not a valid run"
     assert max(map(int, totals)) <= cfg.hit_capacity, "hit capacity overflow"
+    assert max(map(int, nseeds)) <= cfg.seed_cap, "seed capacity overflow"
 
     times = []
     stage = {}
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        out, n_frags, totals = device.compare_staged(codes, codes, cfg, True,
+        out, n_frags, totals, nseeds = device.compare_staged(codes, codes, cfg, True,
                                                      timings=stage)
         jax.block_until_ready((out, n_frags, totals))
         times.append(time.perf_counter() - t0)

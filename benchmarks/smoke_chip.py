@@ -55,6 +55,9 @@ def main() -> int:
         g = synth.plant(args.size, [(400, 4, 0.03, 1), (250, 3, 0.0, 1)],
                         seed=99)
         cases.append((f"self/{mode}", g.codes, None, cfg))
+        if args.size < 6000:
+            raise SystemExit(f"--size must be >= 6000 (cross-case plants "
+                             f"g.codes[5000:7000]); got {args.size}")
         rng = np.random.default_rng(7)
         cy = rng.integers(0, 4, args.size // 2, dtype=np.uint8)
         cy[1000:3000] = g.codes[5000:7000]

@@ -106,12 +106,21 @@ def _init_runtime(args: argparse.Namespace) -> None:
     vars are too late — jax.config.update is the reliable switch (same
     trick as tests/conftest.py)."""
     import os
+    import re
     if args.host_devices:
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count="
-                f"{args.host_devices}").strip()
+        opt = f"--xla_force_host_platform_device_count={args.host_devices}"
+        if "xla_force_host_platform_device_count" in flags:
+            # replace an existing value rather than silently keeping it
+            new = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                         opt, flags)
+            if new != flags:
+                log.warning("XLA_FLAGS already set a host device count; "
+                            "replacing it with --host-devices=%d",
+                            args.host_devices)
+            os.environ["XLA_FLAGS"] = new
+        else:
+            os.environ["XLA_FLAGS"] = (flags + " " + opt).strip()
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -120,6 +129,13 @@ def _init_runtime(args: argparse.Namespace) -> None:
             raise SystemExit("--process-id is required with --num-processes")
         if args.backend != "sharded":
             raise SystemExit("--num-processes>1 requires --backend sharded")
+        if args.fasta_x == "-":
+            # each rank would read its own stdin; launchers feed only rank
+            # 0, so the ranks would silently build DIFFERENT "replicated"
+            # inputs — refuse instead
+            raise SystemExit("stdin input ('-') is not supported with "
+                             "--num-processes>1; pass a file path visible "
+                             "to every rank")
         if args.platform == "cpu":
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
         from .dist.mesh import init_distributed

@@ -78,9 +78,18 @@ class Config:
     strands: str = "f"           # "f", "r", or "fr"
 
     # ---- capacities (static shapes for XLA; overflow is detected, not silent) ----
-    hit_capacity: int = 1 << 20      # max seed hits kept per (window, strand);
-                                     # fragment arrays inherit this bound (one
-                                     # fragment per surviving seed)
+    hit_capacity: int = 1 << 20      # max seed hits kept per (window, strand)
+    seed_capacity: int = 0           # max THINNED seeds per (window, strand);
+                                     # 0 = same as hit_capacity. Thinning
+                                     # keeps one hit per (diag, min_hit_dist
+                                     # bucket), so the surviving count is
+                                     # usually well under the hit count — a
+                                     # tighter static bound here shrinks every
+                                     # capacity-sized sort/gather in the
+                                     # extension stage (the fragment arrays
+                                     # inherit this bound: one fragment per
+                                     # surviving seed). Overflow raises, never
+                                     # truncates.
 
     # ---- streaming / sharding (SURVEY.md §2.3) ----
     window: int = 1 << 22        # query window length (bp) for data-parallel
@@ -114,6 +123,19 @@ class Config:
             raise ValueError(f"strands must be 'f','r','fr', got {self.strands!r}")
         if self.gap_open < 0 or self.gap_extend < 0:
             raise ValueError("gap penalties are stored positive")
+        if self.seed_capacity < 0:
+            raise ValueError(
+                f"seed_capacity must be >= 0 (0 = hit_capacity), "
+                f"got {self.seed_capacity}")
+        if self.seed_capacity > self.hit_capacity:
+            raise ValueError(
+                f"seed_capacity {self.seed_capacity} exceeds hit_capacity "
+                f"{self.hit_capacity} (seeds are thinned hits)")
+
+    @property
+    def seed_cap(self) -> int:
+        """Effective thinned-seed capacity (0 sentinel -> hit_capacity)."""
+        return self.seed_capacity or self.hit_capacity
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -49,12 +49,13 @@ def _one_strand(cx, idxX, cy_cmp, strand: int, cfg: Config):
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
         self_mode=None, y_len=cy_cmp.shape[0],
     )
-    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
+    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist,
+                                            out_capacity=cfg.seed_cap)
 
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
-    return frag, fvalid, total_hits
+    return frag, fvalid, total_hits, n_seeds
 
 
 def self_seeds_fn(cx, cfg: Config):
@@ -69,9 +70,11 @@ def self_seeds_fn(cx, cfg: Config):
                                          y_len=cx.shape[0])
     out = {}
     if "f" in cfg.strands:
-        out[0] = filter_hits(*hits_f[:3], cfg.min_hit_dist) + (hits_f[3],)
+        out[0] = filter_hits(*hits_f[:3], cfg.min_hit_dist,
+                             out_capacity=cfg.seed_cap) + (hits_f[3],)
     if "r" in cfg.strands:
-        out[1] = filter_hits(*hits_r[:3], cfg.min_hit_dist) + (hits_r[3],)
+        out[1] = filter_hits(*hits_r[:3], cfg.min_hit_dist,
+                             out_capacity=cfg.seed_cap) + (hits_r[3],)
     return out
 
 
@@ -81,7 +84,7 @@ def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
     :func:`compare` or `_compare_jit` everywhere else."""
     cy_f = cx if self_cmp else cy
 
-    frags, valids, totals = [], [], []
+    frags, valids, totals, nseeds = [], [], [], []
     if self_cmp:
         seeds = self_seeds_fn(cx, cfg)
         for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
@@ -90,15 +93,18 @@ def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
                                     n_live=n_seeds)
             frag["strand"] = jnp.where(fv, jnp.int32(strand), 0)
             frags.append(frag), valids.append(fv), totals.append(total)
+            nseeds.append(n_seeds)
     else:
         idxX = build_index(cx, cfg.k)
         if "f" in cfg.strands:
-            fr, va, th = _one_strand(cx, idxX, cy_f, 0, cfg)
+            fr, va, th, ns = _one_strand(cx, idxX, cy_f, 0, cfg)
             frags.append(fr), valids.append(va), totals.append(th)
+            nseeds.append(ns)
         if "r" in cfg.strands:
             cy_r = revcomp_device(cy_f)
-            fr, va, th = _one_strand(cx, idxX, cy_r, 1, cfg)
+            fr, va, th, ns = _one_strand(cx, idxX, cy_r, 1, cfg)
             frags.append(fr), valids.append(va), totals.append(th)
+            nseeds.append(ns)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -106,7 +112,7 @@ def compare_fn(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config, self_cmp: bool):
         frag, valid, cfg.min_len, cfg.min_identity, y_len=cy_f.shape[0]
     )
     total_hits = jnp.stack(totals)
-    return out, n_frags, total_hits
+    return out, n_frags, total_hits, jnp.stack(nseeds)
 
 
 _compare_jit = functools.partial(jax.jit, static_argnames=("cfg", "self_cmp"))(
@@ -141,9 +147,10 @@ def _stage_join(idxX, idxY, y_len, cfg: Config, self_mode,
                      same_index=same_index)
 
 
-@functools.partial(jax.jit, static_argnames=("min_hit_dist",))
-def _stage_filter(hpx, hpy, hvalid, min_hit_dist: int):
-    return filter_hits(hpx, hpy, hvalid, min_hit_dist)
+@functools.partial(jax.jit, static_argnames=("min_hit_dist", "out_capacity"))
+def _stage_filter(hpx, hpy, hvalid, min_hit_dist: int, out_capacity=None):
+    return filter_hits(hpx, hpy, hvalid, min_hit_dist,
+                       out_capacity=out_capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "strand", "rev_y"))
@@ -181,7 +188,7 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
 
     cy_f = cx if self_cmp else cy
 
-    frags, valids, totals = [], [], []
+    frags, valids, totals, nseeds = [], [], [], []
     if self_cmp:
         # ONE program: canonical index + both strands' joins + thinning
         seeds = timed("seeds", _stage_self_seeds, cx, cfg)
@@ -189,6 +196,7 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
             frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
                              cx, cx, cfg, strand, rev_y=(strand == 1))
             frags.append(frag), valids.append(fv), totals.append(total)
+            nseeds.append(n_seeds)
     else:
         idxX = timed("index_x", _stage_index, cx, cfg.k)
         strands = ([0] if "f" in cfg.strands else []) + \
@@ -203,17 +211,19 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
                 "join", _stage_join, idxX, idxY,
                 jnp.int32(cy_cmp.shape[0]), cfg, None)
             spx, spy, sv, n_seeds = timed(
-                "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist)
+                "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist,
+                out_capacity=cfg.seed_cap)
             frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
                              cx, cy_cmp, cfg, strand)
             frags.append(frag), valids.append(fv), totals.append(total)
+            nseeds.append(n_seeds)
 
     allfrag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     allvalid = jnp.concatenate(valids)
     out, valid_out, n_frags = timed(
         "merge", _stage_merge, allfrag, allvalid, cfg,
         int(cy_f.shape[0]))
-    return out, n_frags, jnp.stack(totals)
+    return out, n_frags, jnp.stack(totals), jnp.stack(nseeds)
 
 
 def compare(
@@ -241,21 +251,28 @@ def compare(
         return frag
 
     if staged:
-        out, n_frags, total_hits = compare_staged(cx, cy, cfg, self_cmp,
-                                                  timings=timings)
+        out, n_frags, total_hits, n_seeds = compare_staged(
+            cx, cy, cfg, self_cmp, timings=timings)
     else:
-        out, n_frags, total_hits = _compare_jit(cx, cy, cfg, self_cmp)
+        out, n_frags, total_hits, n_seeds = _compare_jit(cx, cy, cfg,
+                                                         self_cmp)
     total_hits = np.asarray(total_hits)
     if (total_hits > cfg.hit_capacity).any():
         raise ValueError(
             f"hit_capacity={cfg.hit_capacity} overflow: strand hit totals "
             f"{total_hits.tolist()}; raise Config.hit_capacity"
         )
+    n_seeds = np.asarray(n_seeds)
+    if (n_seeds > cfg.seed_cap).any():
+        raise ValueError(
+            f"seed_capacity={cfg.seed_cap} overflow: strand seed counts "
+            f"{n_seeds.tolist()}; raise Config.seed_capacity"
+        )
     n = int(n_frags)
     if n > 0 and n == out["xStart"].shape[0]:
         raise ValueError(
             f"frag capacity overflow ({n} fragments fill the array); "
-            "raise Config.hit_capacity"
+            "raise Config.seed_capacity / Config.hit_capacity"
         )
     frag = {k: np.asarray(v[:n]) for k, v in out.items()}
     from .families.cluster import cluster_families

@@ -58,9 +58,13 @@ def gather_fragments(frag: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def write_on_host0(write_fn, *args, **kw):
     """Run a writer callable only on process 0; barrier afterwards so no
-    process races ahead of the files being complete."""
-    if is_output_host():
-        write_fn(*args, **kw)
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("repkiller_tpu_write_barrier")
+    process races ahead of the files being complete. The barrier runs even
+    when the writer raises — otherwise the other ranks would block forever
+    in sync_global_devices (no timeout) instead of seeing process 0 die."""
+    try:
+        if is_output_host():
+            write_fn(*args, **kw)
+    finally:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("repkiller_tpu_write_barrier")

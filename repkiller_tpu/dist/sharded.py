@@ -96,7 +96,8 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     hpx, hpy, hvalid, totals = joined
 
     # stage B: global thinning, then balanced extension
-    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist)
+    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist,
+                                            out_capacity=cfg.seed_cap)
     sh = NamedSharding(mesh, dd)
     spx = jax.lax.with_sharding_constraint(spx, sh)
     spy = jax.lax.with_sharding_constraint(spy, sh)
@@ -105,7 +106,7 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
-    return frag, fvalid, totals
+    return frag, fvalid, totals, n_seeds
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_cmp", "mesh", "win",
@@ -115,16 +116,18 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     cy_f = cx if self_cmp else cy
     idxX = build_index(cx, cfg.k)
 
-    frags, valids, totals = [], [], []
+    frags, valids, totals, nseeds = [], [], [], []
     if "f" in cfg.strands:
-        fr, va, th = _one_strand_sharded(cx, cx_pad, idxX, cy_f, 0,
-                                         self_cmp, cfg, mesh, win, cap_dev)
+        fr, va, th, ns = _one_strand_sharded(cx, cx_pad, idxX, cy_f, 0,
+                                             self_cmp, cfg, mesh, win, cap_dev)
         frags.append(fr), valids.append(va), totals.append(th)
+        nseeds.append(ns)
     if "r" in cfg.strands:
         cy_r = revcomp_device(cy_f)
-        fr, va, th = _one_strand_sharded(cx, cx_pad, idxX, cy_r, 1,
-                                         self_cmp, cfg, mesh, win, cap_dev)
+        fr, va, th, ns = _one_strand_sharded(cx, cx_pad, idxX, cy_r, 1,
+                                             self_cmp, cfg, mesh, win, cap_dev)
         frags.append(fr), valids.append(va), totals.append(th)
+        nseeds.append(ns)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -139,7 +142,8 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     out = {k: jax.lax.with_sharding_constraint(v, rep) for k, v in out.items()}
     n_frags = jax.lax.with_sharding_constraint(n_frags, rep)
     totals = jax.lax.with_sharding_constraint(jnp.stack(totals), rep)
-    return out, n_frags, totals
+    nseeds = jax.lax.with_sharding_constraint(jnp.stack(nseeds), rep)
+    return out, n_frags, totals, nseeds
 
 
 def compare_sharded(
@@ -158,6 +162,9 @@ def compare_sharded(
     n_dev = n_data * n_shard
     if cfg.hit_capacity % n_dev:
         raise ValueError(f"hit_capacity {cfg.hit_capacity} must be divisible "
+                         f"by the {n_dev}-device mesh")
+    if cfg.seed_cap % n_dev:
+        raise ValueError(f"seed_capacity {cfg.seed_cap} must be divisible "
                          f"by the {n_dev}-device mesh")
     cap_dev = cfg.hit_capacity // n_dev
 
@@ -186,7 +193,7 @@ def compare_sharded(
         return jax.make_array_from_callback(arr.shape, sh,
                                             lambda idx: arr[idx])
 
-    out, n_frags, totals = _compare_sharded_jit(
+    out, n_frags, totals, nseeds = _compare_sharded_jit(
         _global(cx), _global(cx_pad),
         _global(cx) if self_cmp else _global(cy),
         cfg, self_cmp, mesh, int(win), int(cap_dev))
@@ -195,9 +202,15 @@ def compare_sharded(
         raise ValueError(
             f"per-device hit capacity {cap_dev} overflow (max block "
             f"{int(totals.max())}); raise Config.hit_capacity")
+    nseeds = np.asarray(nseeds)
+    if (nseeds > cfg.seed_cap).any():
+        raise ValueError(
+            f"seed_capacity={cfg.seed_cap} overflow: strand seed counts "
+            f"{nseeds.tolist()}; raise Config.seed_capacity")
     n = int(n_frags)
     if n > 0 and n == out["xStart"].shape[0]:
-        raise ValueError("frag capacity overflow; raise Config.hit_capacity")
+        raise ValueError("frag capacity overflow; raise "
+                         "Config.seed_capacity / Config.hit_capacity")
     frag = {k: np.asarray(v[:n]) for k, v in out.items()}
     from ..families.cluster import cluster_families
     frag["group"] = cluster_families(frag, cfg, self_cmp)

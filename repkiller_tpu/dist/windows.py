@@ -59,7 +59,8 @@ def _window_step(cx_pad, cx, cy_cmp, idxY, idxX_occ, w0, cfg: Config,
         km, pos, nv, ky, py, nyv,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
         self_mode=self_mode, y_len=cy_cmp.shape[0], occ_idx=idxX_occ)
-    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hv, cfg.min_hit_dist)
+    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hv, cfg.min_hit_dist,
+                                            out_capacity=cfg.seed_cap)
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
@@ -169,6 +170,11 @@ def compare_streamed(
                     f"window {w} strand {strand}: {int(total)} hits exceed "
                     f"hit_capacity {cfg.hit_capacity}; shrink window or "
                     "raise capacity")
+            if int(n_seeds) > cfg.seed_cap:
+                raise ValueError(
+                    f"window {w} strand {strand}: {int(n_seeds)} seeds "
+                    f"exceed seed_capacity {cfg.seed_cap}; shrink window "
+                    "or raise Config.seed_capacity")
             blk = {f: np.asarray(v) for f, v in frag.items()}
             va = np.asarray(valid)
             blocks.append((blk, va))

@@ -89,7 +89,7 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     # Per entry: how many opposite-flag entries of my run precede me.
     cA, pfA = jax.lax.sort((canon, posfp), num_keys=2)
     fA = (pfA >> 1) & 1
-    loA, _ = _run_bounds(cA)
+    loA, hiA = _run_bounds(cA)
     idx = jnp.arange(n, dtype=jnp.int32)
     ones_cum = jnp.cumsum(fA)                        # inclusive count of flag-1
     run_start_cum = ones_cum[loA] - fA[loA]          # exclusive at run start
@@ -97,22 +97,28 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     n0_before = (idx - loA) - n1_before
     alt_beforeA = jnp.where(fA == 1, n0_before, n1_before)
 
-    # view B: (canon, flag, pos) — the index order used for expansion;
-    # flag/palin move to the TOP bits (palin is constant per run, so it
-    # never reorders within a run); alt_before rides as payload
-    keyB = (pfA & 1) << 31 | ((pfA & 2) << 29) | (pfA >> 2)
-    cB, kB, altB = jax.lax.sort((cA, keyB, alt_beforeA), num_keys=2)
-    pB = kB & ((1 << 29) - 1)
-    fB = (kB >> 30) & 1
-    plB = (kB >> 31) & 1
-    loB, hiB = _run_bounds(cB)
-    loB = jnp.minimum(loB, n_valid)
-    hiB = jnp.minimum(hiB, n_valid)
-    # subrun boundary: flag-0 entries in [lo, mid), flag-1 in [mid, hi).
-    # count of flag-1 in the run via cumsum difference at the bounds
-    f_cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(fB)])
-    n1_run = f_cum[hiB] - f_cum[loB]
-    midB = hiB - n1_run
+    # view B: (canon, flag, pos) — the index order used for expansion.
+    # B is a within-run permutation of A (flag-0 subrun first, then
+    # flag-1, each pos-sorted — and A is already pos-sorted within runs),
+    # so every entry's B slot is directly computable from the A-order
+    # cumsums: TWO O(n) scatters replace a second full 3-operand
+    # lax.sort (measured 231 ms -> the second sort was ~100 ms of the
+    # canonical index build at E. coli scale, benchmarks/seeds_dissect.py).
+    n1_run = (ones_cum[jnp.maximum(hiA - 1, 0)] - run_start_cum
+              ).astype(jnp.int32)
+    midA = hiA - n1_run                              # flag-0/1 boundary
+    slotB = jnp.where(fA == 1, midA + n1_before, loA + n0_before)
+    pfB = jnp.zeros(n, pfA.dtype).at[slotB].set(pfA)
+    altB = jnp.zeros(n, jnp.int32).at[slotB].set(alt_beforeA)
+    pB = (pfB >> 2) & ((1 << 29) - 1)
+    fB = (pfB >> 1) & 1
+    plB = pfB & 1
+    # run spans are identical in both views (B permutes within runs), so
+    # the per-entry bounds arrays carry over from A unchanged; the clip
+    # collapses the sentinel run (invalid tail) to [n_valid, n_valid)
+    loB = jnp.minimum(loA, n_valid)
+    hiB = jnp.minimum(hiA, n_valid)
+    midB = jnp.clip(hiB - n1_run, loB, hiB)
 
     return CanonIndex(pos=pB, flag=fB, run_lo=loB, run_mid=midB,
                       run_hi=hiB, alt_before=altB, palin=plB == 1,

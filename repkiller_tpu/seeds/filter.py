@@ -19,7 +19,8 @@ INT32_MAX = jnp.int32(0x7FFFFFFF)
 
 
 def filter_hits(
-    hpx: jnp.ndarray, hpy: jnp.ndarray, hvalid: jnp.ndarray, min_hit_dist: int
+    hpx: jnp.ndarray, hpy: jnp.ndarray, hvalid: jnp.ndarray, min_hit_dist: int,
+    out_capacity: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (px, py, valid, n_kept); kept hits dense at the front, sorted by
     (diag, px).
@@ -28,7 +29,13 @@ def filter_hits(
     (invalid -> INT32_MAX, unreachable for |diag| < 2^31 genuine hits),
     and py is payload, not key — (diag, px) already determines py, so
     (diagI, px) is a total order over hits. 3 operands / 2 keys per
-    pass vs the naive 4 / 4."""
+    pass vs the naive 4 / 4.
+
+    out_capacity (static, <= hit capacity) trims the compacted output
+    arrays: seeds are thinned hits, so a tighter static bound shrinks
+    every capacity-sized op downstream (Config.seed_capacity). n_kept is
+    always the TRUE count — the caller must raise when it exceeds
+    out_capacity (truncation is never silent)."""
     diag = hpx - hpy                     # int32; genomes < 2^31 bp
     diagI = jnp.where(hvalid, diag, INT32_MAX)
     diag_s, px_s, py_s = jax.lax.sort((diagI, hpx, hpy), num_keys=2)
@@ -44,6 +51,8 @@ def filter_hits(
     diag2 = jnp.where(keep, diag_s, INT32_MAX)
     _, px_c, py_c = jax.lax.sort((diag2, px_s, py_s), num_keys=2)
     n_kept = jnp.sum(keep.astype(jnp.int32))
+    if out_capacity is not None and out_capacity < px_c.shape[0]:
+        px_c, py_c = px_c[:out_capacity], py_c[:out_capacity]
     valid_c = jnp.arange(px_c.shape[0], dtype=jnp.int32) < n_kept
     px_c = jnp.where(valid_c, px_c, 0)
     py_c = jnp.where(valid_c, py_c, 0)

@@ -67,7 +67,8 @@ def profile_stages(codesX: np.ndarray, codesY: Optional[np.ndarray],
     hpx, hpy, hvalid, total = _sync(join(idxX, idxY))
     rec("seed_join", t0, hits=int(total))
 
-    filt = jax.jit(lambda a, b, v: filter_hits(a, b, v, cfg.min_hit_dist))
+    filt = jax.jit(lambda a, b, v: filter_hits(
+        a, b, v, cfg.min_hit_dist, out_capacity=cfg.seed_cap))
     t0 = time.perf_counter()
     spx, spy, svalid, n_seeds = _sync(filt(hpx, hpy, hvalid))
     rec("hit_filter", t0, seeds=int(n_seeds))

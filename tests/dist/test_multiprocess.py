@@ -31,7 +31,12 @@ TIMEOUT = 900  # first CPU compile of the sharded program dominates
 
 
 def _free_port() -> int:
+    # SO_REUSEADDR lets the coordinator bind the port immediately after we
+    # release it, and closing only at pick time narrows (not eliminates)
+    # the reuse race; the callers retry the whole launch on coordinator
+    # bind failure to close the remaining window.
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
