@@ -91,6 +91,13 @@ class Config:
                                      # surviving seed). Overflow raises, never
                                      # truncates.
 
+    shard_slack: float = 1.5         # physically sharded index (dist/sharded,
+                                     # index/shards.py): per-shard row capacity
+                                     # = slack * n_kmers / n_shards. Hash-prefix
+                                     # ownership is only as balanced as the
+                                     # genome's k-mer spectrum; overflow raises
+                                     # with instructions to raise this.
+
     # ---- streaming / sharding (SURVEY.md §2.3) ----
     window: int = 1 << 22        # query window length (bp) for data-parallel
                                  # streaming. No overlap is needed: windows
@@ -123,6 +130,9 @@ class Config:
             raise ValueError(f"strands must be 'f','r','fr', got {self.strands!r}")
         if self.gap_open < 0 or self.gap_extend < 0:
             raise ValueError("gap penalties are stored positive")
+        if self.shard_slack < 1.0:
+            raise ValueError(
+                f"shard_slack must be >= 1.0, got {self.shard_slack}")
         if self.seed_capacity < 0:
             raise ValueError(
                 f"seed_capacity must be >= 0 (0 = hit_capacity), "

@@ -22,10 +22,16 @@ Structure (one jitted program over a (data, shard) mesh):
 The final fragment table is bit-identical to oracle.pipeline.compare and
 device.compare for every mesh shape — asserted by tests/dist/.
 
-Memory note: codes and indexes are replicated (HBM-resident 2-bit-packable
-arrays are small relative to HBM even at human-chr1 scale); what is
-sharded is the WORK. Physically distributed index storage rides the same
-ownership function and is a later milestone (SURVEY.md §7 M5).
+Memory note: the k-mer indexes are PHYSICALLY SHARDED by hash prefix
+(index/shards.py): device (d, s) stores only shard s's (kmer, pos) rows
+— steady-state per-device index memory drops n_shard-fold — and joins
+window d's k-mers against its local rows directly (an unowned k-mer
+searches to an empty run, so no ownership filter is needed). The build
+still sorts replicated transient arrays before slicing (index/shards.py
+docstring); the fully distributed all-to-all build over ICI/DCN is the
+remaining pod-scale step. The genome codes stay replicated: extension
+window gathers read arbitrary y positions, and 2-bit-packed codes are
+~32 MB even at human-chr1 scale.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..index.build import build_index
+from ..index.shards import build_sharded_index, shard_capacity
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
 from ..chain.diagonal import extend_gated
@@ -51,48 +58,57 @@ from .mesh import DATA_AXIS, SHARD_AXIS, make_mesh
 NCODE = jnp.uint8(4)
 
 
-def _window_join(cx_pad, idxY, idxX_occ, win: int, cap_dev: int,
-                 cfg: Config, self_mode: Optional[str], y_len: int,
-                 n_shard: int):
-    """Per-device body of stage A. All inputs replicated."""
+def _window_join(cx_pad, idxY_sh, idxX_occ_sh, win: int, cap_dev: int,
+                 cfg: Config, self_mode: Optional[str], y_len: int):
+    """Per-device body of stage A. cx_pad is replicated; idxY_sh /
+    idxX_occ_sh arrive as this device's LOCAL index shard (leading axis 1
+    after shard_map splits P(SHARD_AXIS)). A window k-mer this shard does
+    not own searches to an empty run in the local rows, so per-shard hit
+    sets partition the global set with no ownership filter."""
     d = jax.lax.axis_index(DATA_AXIS)
-    s = jax.lax.axis_index(SHARD_AXIS)
     w0 = (d * jnp.int32(win)).astype(jnp.int32)
     sl = jax.lax.dynamic_slice(cx_pad, (w0,), (win + cfg.k - 1,))
     km, pos, nv = build_index(sl, cfg.k)
     pos = pos + w0                               # window-local -> global
-    ky, py, nyv = idxY
+    kyS, pyS, cntY = idxY_sh
+    kxoS, cntXo = idxX_occ_sh
     hpx, hpy, hv, total = join_hits(
-        km, pos, nv, ky, py, nyv,
+        km, pos, nv, kyS[0], pyS[0], cntY[0],
         k=cfg.k, max_occ=cfg.max_occ, capacity=cap_dev,
         self_mode=self_mode, y_len=y_len,
-        occ_idx=idxX_occ, shard=(s, n_shard),
+        occ_idx=(kxoS[0], cntXo[0]),
     )
     return hpx, hpy, hv, total.reshape(1)
 
 
-def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
+def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
                         self_cmp: bool, cfg: Config, mesh: Mesh,
-                        win: int, cap_dev: int):
-    """Sharded hits + balanced extension for one strand."""
-    n_data = mesh.shape[DATA_AXIS]
+                        win: int, cap_dev: int, cap_shard: int):
+    """Sharded hits + balanced extension for one strand. idxX_sh is the
+    physically sharded X index (build_sharded_index); Y's index is built
+    sharded here per strand. Returns the per-shard Y counts so the host
+    can detect shard-capacity overflow."""
     n_shard = mesh.shape[SHARD_AXIS]
     if self_cmp and strand == 0:
-        idxY, self_mode = idxX, "f"
+        idxY_sh, self_mode = idxX_sh, "f"
     elif self_cmp:
-        idxY, self_mode = build_index(cy_cmp, cfg.k), "r"
+        idxY_sh = build_sharded_index(cy_cmp, cfg.k, n_shard, cap_shard,
+                                      mesh, SHARD_AXIS)
+        self_mode = "r"
     else:
-        idxY, self_mode = build_index(cy_cmp, cfg.k), None
+        idxY_sh = build_sharded_index(cy_cmp, cfg.k, n_shard, cap_shard,
+                                      mesh, SHARD_AXIS)
+        self_mode = None
 
     dd = P((DATA_AXIS, SHARD_AXIS))
+    sp = P(SHARD_AXIS)
     joined = jax.shard_map(
         functools.partial(_window_join, win=win, cap_dev=cap_dev, cfg=cfg,
-                          self_mode=self_mode, y_len=cy_cmp.shape[0],
-                          n_shard=n_shard),
+                          self_mode=self_mode, y_len=cy_cmp.shape[0]),
         mesh=mesh,
-        in_specs=(P(), (P(), P(), P()), (P(), P())),
+        in_specs=(P(), (sp, sp, sp), (sp, sp)),
         out_specs=(dd, dd, dd, dd),
-    )(cx_pad, idxY, (idxX[0], idxX[2]))
+    )(cx_pad, idxY_sh, (idxX_sh[0], idxX_sh[2]))
     hpx, hpy, hvalid, totals = joined
 
     # stage B: global thinning, then balanced extension
@@ -106,28 +122,33 @@ def _one_strand_sharded(cx, cx_pad, idxX, cy_cmp, strand: int,
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
-    return frag, fvalid, totals, n_seeds
+    return frag, fvalid, totals, n_seeds, idxY_sh[2]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_cmp", "mesh", "win",
-                                             "cap_dev"))
+                                             "cap_dev", "cap_shard"))
 def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
-                         mesh: Mesh, win: int, cap_dev: int):
+                         mesh: Mesh, win: int, cap_dev: int, cap_shard: int):
     cy_f = cx if self_cmp else cy
-    idxX = build_index(cx, cfg.k)
+    n_shard = mesh.shape[SHARD_AXIS]
+    idxX_sh = build_sharded_index(cx, cfg.k, n_shard, cap_shard,
+                                  mesh, SHARD_AXIS)
 
     frags, valids, totals, nseeds = [], [], [], []
+    shard_cnts = [idxX_sh[2]]
     if "f" in cfg.strands:
-        fr, va, th, ns = _one_strand_sharded(cx, cx_pad, idxX, cy_f, 0,
-                                             self_cmp, cfg, mesh, win, cap_dev)
+        fr, va, th, ns, sc = _one_strand_sharded(
+            cx, cx_pad, idxX_sh, cy_f, 0, self_cmp, cfg, mesh, win,
+            cap_dev, cap_shard)
         frags.append(fr), valids.append(va), totals.append(th)
-        nseeds.append(ns)
+        nseeds.append(ns), shard_cnts.append(sc)
     if "r" in cfg.strands:
         cy_r = revcomp_device(cy_f)
-        fr, va, th, ns = _one_strand_sharded(cx, cx_pad, idxX, cy_r, 1,
-                                             self_cmp, cfg, mesh, win, cap_dev)
+        fr, va, th, ns, sc = _one_strand_sharded(
+            cx, cx_pad, idxX_sh, cy_r, 1, self_cmp, cfg, mesh, win,
+            cap_dev, cap_shard)
         frags.append(fr), valids.append(va), totals.append(th)
-        nseeds.append(ns)
+        nseeds.append(ns), shard_cnts.append(sc)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -143,7 +164,8 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     n_frags = jax.lax.with_sharding_constraint(n_frags, rep)
     totals = jax.lax.with_sharding_constraint(jnp.stack(totals), rep)
     nseeds = jax.lax.with_sharding_constraint(jnp.stack(nseeds), rep)
-    return out, n_frags, totals, nseeds
+    shard_cnts = jax.lax.with_sharding_constraint(jnp.stack(shard_cnts), rep)
+    return out, n_frags, totals, nseeds, shard_cnts
 
 
 def compare_sharded(
@@ -181,6 +203,8 @@ def compare_sharded(
     pad_to = n_data * win + cfg.k - 1
     cx_pad = np.full(pad_to, 4, np.uint8)       # N padding -> invalid k-mers
     cx_pad[: cx.shape[0]] = cx
+    n_pos_max = max(cx.shape[0], cy.shape[0]) - cfg.k + 1
+    cap_shard = shard_capacity(n_pos_max, n_shard, cfg.shard_slack)
 
     def _global(arr):
         # Single-process: a plain device array. Multi-process: every host
@@ -193,10 +217,16 @@ def compare_sharded(
         return jax.make_array_from_callback(arr.shape, sh,
                                             lambda idx: arr[idx])
 
-    out, n_frags, totals, nseeds = _compare_sharded_jit(
+    out, n_frags, totals, nseeds, shard_cnts = _compare_sharded_jit(
         _global(cx), _global(cx_pad),
         _global(cx) if self_cmp else _global(cy),
-        cfg, self_cmp, mesh, int(win), int(cap_dev))
+        cfg, self_cmp, mesh, int(win), int(cap_dev), int(cap_shard))
+    shard_cnts = np.asarray(shard_cnts)
+    if (shard_cnts > cap_shard).any():
+        raise ValueError(
+            f"index shard capacity {cap_shard} overflow (max shard "
+            f"{int(shard_cnts.max())} entries — skewed k-mer prefixes); "
+            "raise Config.shard_slack")
     totals = np.asarray(totals)
     if (totals > cap_dev).any():
         raise ValueError(

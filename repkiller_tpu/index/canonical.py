@@ -97,28 +97,25 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     n0_before = (idx - loA) - n1_before
     alt_beforeA = jnp.where(fA == 1, n0_before, n1_before)
 
-    # view B: (canon, flag, pos) — the index order used for expansion.
-    # B is a within-run permutation of A (flag-0 subrun first, then
-    # flag-1, each pos-sorted — and A is already pos-sorted within runs),
-    # so every entry's B slot is directly computable from the A-order
-    # cumsums: TWO O(n) scatters replace a second full 3-operand
-    # lax.sort (measured 231 ms -> the second sort was ~100 ms of the
-    # canonical index build at E. coli scale, benchmarks/seeds_dissect.py).
-    n1_run = (ones_cum[jnp.maximum(hiA - 1, 0)] - run_start_cum
-              ).astype(jnp.int32)
-    midA = hiA - n1_run                              # flag-0/1 boundary
-    slotB = jnp.where(fA == 1, midA + n1_before, loA + n0_before)
-    pfB = jnp.zeros(n, pfA.dtype).at[slotB].set(pfA)
-    altB = jnp.zeros(n, jnp.int32).at[slotB].set(alt_beforeA)
-    pB = (pfB >> 2) & ((1 << 29) - 1)
-    fB = (pfB >> 1) & 1
-    plB = pfB & 1
-    # run spans are identical in both views (B permutes within runs), so
-    # the per-entry bounds arrays carry over from A unchanged; the clip
-    # collapses the sentinel run (invalid tail) to [n_valid, n_valid)
+    # view B: (canon, flag, pos) — the index order used for expansion;
+    # flag/palin move to the TOP bits (palin is constant per run, so it
+    # never reorders within a run); alt_before rides as payload.
+    # (A scatter-built B — slotB from the A-order cumsums, two O(n)
+    # scatters — was measured on-chip at 247 ms vs this sort's 231 ms
+    # for the whole index build: TPU scatters cost ~as much as the sort
+    # they replace. benchmarks/seeds_dissect.py, 2026-08-20.)
+    keyB = (pfA & 1) << 31 | ((pfA & 2) << 29) | (pfA >> 2)
+    cB, kB, altB = jax.lax.sort((cA, keyB, alt_beforeA), num_keys=2)
+    pB = kB & ((1 << 29) - 1)
+    fB = (kB >> 30) & 1
+    plB = (kB >> 31) & 1
     loB = jnp.minimum(loA, n_valid)
     hiB = jnp.minimum(hiA, n_valid)
-    midB = jnp.clip(hiB - n1_run, loB, hiB)
+    # subrun boundary: flag-0 entries in [lo, mid), flag-1 in [mid, hi).
+    # count of flag-1 in the run via cumsum difference at the bounds
+    f_cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(fB)])
+    n1_run = f_cum[hiB] - f_cum[loB]
+    midB = hiB - n1_run
 
     return CanonIndex(pos=pB, flag=fB, run_lo=loB, run_mid=midB,
                       run_hi=hiB, alt_before=altB, palin=plB == 1,
