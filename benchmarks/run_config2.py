@@ -20,7 +20,8 @@ def main():
 
     size = int(args.size * args.scale)
     cfg = Config(k=16, strands="fr", extend_mode="banded",
-                 hit_capacity=1 << 20, max_extend=2048)
+                 hit_capacity=1 << 20, seed_capacity=1 << 19,
+                 max_extend=2048)
     fams = [(5900, 4, 0.03, 1),          # Ty1-like LTR element
             (332, 12, 0.05, 3),          # LTR solo copies
             (137, 20, 0.08, 0),          # tRNA-adjacent repeats

@@ -109,6 +109,7 @@ def compare(
     y: Optional[SeqLike] = None,
     cfg: Config = DEFAULT,
     backend: str = "device",
+    keep_intermediates: Optional[str] = None,
 ) -> Result:
     """Compare sequence X against Y (or itself when y is None) and detect
     repeat fragments + families.
@@ -121,9 +122,13 @@ def compare(
     """
     xs = _as_seqset(x)
     ys = _as_seqset(y) if y is not None else None
+    if keep_intermediates and backend != "device":
+        raise ValueError("--keep-intermediates requires the device backend "
+                         "(streamed runs checkpoint per window instead)")
     if backend == "device":
         from . import device
-        frag = device.compare(xs.codes, None if ys is None else ys.codes, cfg)
+        frag = device.compare(xs.codes, None if ys is None else ys.codes, cfg,
+                              keep_intermediates=keep_intermediates)
     elif backend == "sharded":
         from .dist.sharded import compare_sharded
         frag = compare_sharded(xs.codes, None if ys is None else ys.codes, cfg)

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to DIR")
     pr.add_argument("--metrics-json", default=None,
                     help="append a JSONL metrics record here")
+    pr.add_argument("--keep-intermediates", default=None, metavar="DIR",
+                    help="dump each stage's arrays to DIR; a rerun with "
+                         "identical inputs resumes from the last completed "
+                         "stage (device backend)")
     pr.add_argument("--stage-timing", action="store_true",
                     help="also run the pipeline stage-by-stage and print "
                          "per-stage JSONL timings (forward strand)")
@@ -155,7 +159,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
     try:
-        res = api.compare(src_x, args.fasta_y, cfg, backend=args.backend)
+        res = api.compare(src_x, args.fasta_y, cfg, backend=args.backend,
+                          keep_intermediates=args.keep_intermediates)
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)

@@ -172,10 +172,13 @@ def _stage_merge(frag, valid, cfg: Config, y_len: int):
 
 
 def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
-                   self_cmp: bool, timings: dict = None):
+                   self_cmp: bool, timings: dict = None, store=None):
     """Stage-by-stage equivalent of _compare_jit; returns the same
-    (out, n_frags, total_hits) triple. `timings` (optional dict) collects
-    per-stage wall seconds."""
+    (out, n_frags, total_hits, n_seeds) tuple. `timings` (optional dict)
+    collects per-stage wall seconds. `store` (optional
+    utils.checkpoint.StageStore) dumps each logical stage's arrays and
+    reloads them on a rerun with the same fingerprint — the SURVEY.md §5
+    "resume from any stage" contract (--keep-intermediates)."""
     import time as _time
 
     def timed(name, fn, *a, **kw):
@@ -186,35 +189,81 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
             timings[name] = timings.get(name, 0.0) + _time.perf_counter() - t0
         return out
 
+    def _seed_tuple_save(strand, t5):
+        spx, spy, sv, n_seeds, total = t5
+        store.save(f"seeds{strand}", {"spx": spx, "spy": spy, "sv": sv,
+                                      "n_seeds": n_seeds, "total": total})
+
+    def _seed_tuple_load(strand):
+        z = store.load(f"seeds{strand}") if store is not None else None
+        if z is None:
+            return None
+        return (jnp.asarray(z["spx"]), jnp.asarray(z["spy"]),
+                jnp.asarray(z["sv"]), jnp.asarray(z["n_seeds"]),
+                jnp.asarray(z["total"]))
+
+    def _extend_load(strand):
+        z = store.load(f"extend{strand}") if store is not None else None
+        if z is None:
+            return None
+        fv = jnp.asarray(z.pop("fvalid"))
+        return {f: jnp.asarray(v) for f, v in z.items()}, fv
+
     cy_f = cx if self_cmp else cy
+    strands = ([0] if "f" in cfg.strands else []) + \
+              ([1] if "r" in cfg.strands else [])
 
     frags, valids, totals, nseeds = [], [], [], []
     if self_cmp:
-        # ONE program: canonical index + both strands' joins + thinning
-        seeds = timed("seeds", _stage_self_seeds, cx, cfg)
+        seeds = {s: _seed_tuple_load(s) for s in strands}
+        if any(v is None for v in seeds.values()):
+            # ONE program: canonical index + both strands' joins + thinning
+            seeds = timed("seeds", _stage_self_seeds, cx, cfg)
+            if store is not None:
+                for s, t5 in seeds.items():
+                    _seed_tuple_save(s, t5)
         for strand, (spx, spy, sv, n_seeds, total) in seeds.items():
-            frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
-                             cx, cx, cfg, strand, rev_y=(strand == 1))
+            hit = _extend_load(strand)
+            if hit is None:
+                frag, fv = timed("extend", _stage_extend, spx, spy, sv,
+                                 n_seeds, cx, cx, cfg, strand,
+                                 rev_y=(strand == 1))
+                if store is not None:
+                    store.save(f"extend{strand}", {**frag, "fvalid": fv})
+            else:
+                frag, fv = hit
             frags.append(frag), valids.append(fv), totals.append(total)
             nseeds.append(n_seeds)
     else:
-        idxX = timed("index_x", _stage_index, cx, cfg.k)
-        strands = ([0] if "f" in cfg.strands else []) + \
-                  ([1] if "r" in cfg.strands else [])
+        idxX = None
         for strand in strands:
-            if strand == 0:
-                cy_cmp = cy_f
+            t5 = _seed_tuple_load(strand)
+            ext = _extend_load(strand)
+            cy_cmp = None
+            if t5 is None or ext is None:
+                cy_cmp = cy_f if strand == 0 else timed(
+                    "revcomp", _stage_revcomp, cy_f)
+            if t5 is None:
+                if idxX is None:
+                    idxX = timed("index_x", _stage_index, cx, cfg.k)
+                idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
+                hpx, hpy, hv, total = timed(
+                    "join", _stage_join, idxX, idxY,
+                    jnp.int32(cy_cmp.shape[0]), cfg, None)
+                spx, spy, sv, n_seeds = timed(
+                    "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist,
+                    out_capacity=cfg.seed_cap)
+                if store is not None:
+                    _seed_tuple_save(strand, (spx, spy, sv, n_seeds, total))
             else:
-                cy_cmp = timed("revcomp", _stage_revcomp, cy_f)
-            idxY = timed("index_y", _stage_index, cy_cmp, cfg.k)
-            hpx, hpy, hv, total = timed(
-                "join", _stage_join, idxX, idxY,
-                jnp.int32(cy_cmp.shape[0]), cfg, None)
-            spx, spy, sv, n_seeds = timed(
-                "filter", _stage_filter, hpx, hpy, hv, cfg.min_hit_dist,
-                out_capacity=cfg.seed_cap)
-            frag, fv = timed("extend", _stage_extend, spx, spy, sv, n_seeds,
-                             cx, cy_cmp, cfg, strand)
+                spx, spy, sv, n_seeds, total = t5
+            if ext is None:
+                frag, fv = timed("extend", _stage_extend, spx, spy, sv,
+                                 n_seeds, cx, cy_cmp, cfg, strand)
+                if store is not None:
+                    store.save(f"extend{strand}", {**frag, "fvalid": fv})
+            else:
+                frag, fv = ext
             frags.append(frag), valids.append(fv), totals.append(total)
             nseeds.append(n_seeds)
 
@@ -229,6 +278,7 @@ def compare_staged(cx: jnp.ndarray, cy: jnp.ndarray, cfg: Config,
 def compare(
     codesX: np.ndarray, codesY: Optional[np.ndarray], cfg: Config,
     staged: bool = True, timings: dict = None,
+    keep_intermediates: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Device-pipeline equivalent of oracle.pipeline.compare.
 
@@ -241,6 +291,10 @@ def compare(
     stage compiles in minutes on the axon remote compiler where the
     fused whole-pipeline program takes ~an hour. staged=False keeps the
     single fused jit (the driver compile-check path).
+
+    keep_intermediates (a directory; implies staged) dumps every logical
+    stage's arrays and lets a rerun with identical inputs resume from the
+    last completed stage (SURVEY.md §5 "Checkpoint/resume").
     """
     self_cmp = codesY is None
     cx = jnp.asarray(np.asarray(codesX, np.uint8))
@@ -250,9 +304,15 @@ def compare(
         frag["group"] = np.zeros(0, np.int32)
         return frag
 
+    store = None
+    if keep_intermediates:
+        from .utils.checkpoint import StageStore, fingerprint
+        store = StageStore(keep_intermediates,
+                           fingerprint(codesX, codesY, cfg))
+        staged = True
     if staged:
         out, n_frags, total_hits, n_seeds = compare_staged(
-            cx, cy, cfg, self_cmp, timings=timings)
+            cx, cy, cfg, self_cmp, timings=timings, store=store)
     else:
         out, n_frags, total_hits, n_seeds = _compare_jit(cx, cy, cfg,
                                                          self_cmp)

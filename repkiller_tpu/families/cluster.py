@@ -26,12 +26,25 @@ from ..config import Config
 from ..oracle import pipeline as orc
 
 
+EDGE_CHUNK = 1 << 22   # edges materialised at once (~64 MB of working set)
+
+
 def cluster_families(frag: Dict[str, np.ndarray], cfg: Config,
-                     self_cmp: bool) -> np.ndarray:
+                     self_cmp: bool, edge_chunk: int = EDGE_CHUNK
+                     ) -> np.ndarray:
     """Family id per fragment = smallest member index (canonical order).
 
     Fragments MUST already be canonical_sort'ed (same contract as the
     oracle implementation this replaces on the hot path).
+
+    Memory is bounded: the edge list (sum of neighbor-range counts —
+    quadratic in the worst dense pileup, though max_occ bounds realistic
+    family sizes) is never materialised whole. Edges stream in
+    ``edge_chunk`` blocks, regenerated per propagation round from the
+    O(m) range arrays; min-label propagation reaches the same fixpoint
+    (the per-component minimum) for any edge processing order, so the
+    result is bit-identical to the oracle's union-find for any chunk
+    size (tests/unit/test_families.py).
     """
     n = frag["xStart"].shape[0]
     if n == 0:
@@ -56,28 +69,80 @@ def cluster_families(frag: Dict[str, np.ndarray], cfg: Config,
 
     csum = np.cumsum(counts)
     total = int(csum[-1]) if m else 0
-    if total:
-        offs = csum - counts
-        t = np.arange(total, dtype=np.int64)
-        src = np.searchsorted(csum, t, side="right")
-        ea_i = src                                  # sorted-interval index i
-        eb_i = lo[src] + (t - offs[src])            # sorted-interval index j
+    offs = csum - counts
+    pct = np.int64(round(cfg.len_ratio * 100))
+
+    # source-interval chunk boundaries carrying ~edge_chunk edges each
+    # (one hub interval with more neighbors than edge_chunk makes its
+    # block that big — peak memory then equals its degree, which any
+    # edge representation pays anyway)
+    if total > edge_chunk:
+        cut = np.searchsorted(csum, np.arange(edge_chunk, total, edge_chunk,
+                                              dtype=np.int64), side="left")
+        bounds = np.unique(np.concatenate([[0], cut + 1, [m]]))
+    else:
+        bounds = np.array([0, m], dtype=np.int64)
+
+    def gen_block(i0: int, i1: int):
+        """Filtered (ea, eb) for source intervals [i0, i1) — pure
+        np.repeat expansion, no per-edge binary search."""
+        w = counts[i0:i1]
+        tot = int(w.sum())
+        if not tot:
+            return None
+        ea_i = np.repeat(np.arange(i0, i1, dtype=np.int64), w)
+        off_local = np.repeat(offs[i0:i1], w)
+        intra = np.arange(tot, dtype=np.int64) - (off_local - offs[i0])
+        eb_i = np.repeat(lo[i0:i1], w) + intra
         ea, eb = fidx[ea_i], fidx[eb_i]
         keep = ea != eb
         la, lb = lens[ea], lens[eb]
-        pct = np.int64(round(cfg.len_ratio * 100))
         keep &= np.minimum(la, lb) * 100 >= pct * np.maximum(la, lb)
-        ea, eb = ea[keep], eb[keep]
-    else:
-        ea = eb = np.zeros(0, np.int64)
+        if not keep.any():
+            return None
+        return ea[keep].astype(np.int32), eb[keep].astype(np.int32)
+
+    # round 1 generates each block once and caches the filtered edges
+    # while they fit ~2x edge_chunk entries; adversarial pileups beyond
+    # that fall back to regenerating blocks per round (memory stays
+    # bounded either way)
+    cache, cache_n, cache_ok = [], 0, True
+
+    def blocks(first: bool):
+        nonlocal cache, cache_n, cache_ok
+        if not first and cache_ok:
+            yield from cache
+            return
+        for i0, i1 in zip(bounds[:-1], bounds[1:]):
+            blk = gen_block(int(i0), int(i1))
+            if blk is None:
+                continue
+            if first and cache_ok:
+                cache_n += blk[0].shape[0]
+                if cache_n <= 2 * edge_chunk:
+                    cache.append(blk)
+                else:
+                    cache, cache_ok = [], False
+            yield blk
 
     # min-label propagation with pointer jumping to the fixpoint
     lab = np.arange(n, dtype=np.int64)
+    first = True
     while True:
-        m2 = np.minimum(lab[ea], lab[eb])
         new = lab.copy()
-        np.minimum.at(new, ea, m2)
-        np.minimum.at(new, eb, m2)
+        for ea, eb in blocks(first):
+            la, lb = lab[ea], lab[eb]
+            # already-merged endpoints contribute nothing to the min;
+            # dropping them makes every round after the first nearly
+            # free (ufunc.at is the cost, the gathers are cheap)
+            live = la != lb
+            if not live.any():
+                continue
+            ea, eb = ea[live], eb[live]
+            m2 = np.minimum(la[live], lb[live])
+            np.minimum.at(new, ea, m2)
+            np.minimum.at(new, eb, m2)
+        first = False
         new = np.minimum(new, new[new])             # pointer jumping
         if np.array_equal(new, lab):
             break

@@ -56,3 +56,15 @@ def test_dense_pileup():
     cfg = Config()
     assert np.array_equal(cluster_families(frag, cfg, True),
                           orc.cluster_families(frag, cfg, True))
+
+
+def test_chunked_edges_invariant():
+    """Edge streaming (EDGE_CHUNK blocks) is bit-identical for any chunk
+    size — min-label propagation reaches the per-component minimum for
+    any edge processing order."""
+    frag = _random_frags(800, seed=11, L=3000)   # dense: many edges
+    cfg = Config(proximity=100, len_ratio=0.3)
+    want = orc.cluster_families(frag, cfg, True)
+    for chunk in (1, 7, 64, 1 << 20):
+        got = cluster_families(frag, cfg, True, edge_chunk=chunk)
+        assert np.array_equal(got, want), chunk
