@@ -36,13 +36,14 @@ def main():
     # near-identical strain pair: the shared backbone alone contributes
     # ~5.4M forward hits at this scale (the 2^20 default overflows — the
     # exact-count capacity check catches it rather than truncating)
-    # seeds are thinned to one per (diag, 32 bp) bucket: the backbone
-    # contributes ~size/32 per strand, repeats a few 10k more — 2^20 is
-    # ample and keeps the extension wrapper ops 8x smaller than the hit
-    # arrays; coverage gating then skips the redundant backbone seeds
-    # before the full-depth phase (chain/diagonal.py)
+    # seeds: SNPs/indels fracture the backbone into many short diagonals,
+    # so thinning keeps ~1.1M forward seeds at 4.6 Mbp (measured; the
+    # seed_capacity check catches the 2^20 guess). 2^21 holds them while
+    # keeping the extension wrapper ops 4x smaller than the hit arrays;
+    # coverage gating then skips the redundant backbone seeds before the
+    # full-depth phase (chain/diagonal.py)
     cfg = Config(k=12, strands="fr", extend_mode="banded",
-                 hit_capacity=1 << 23, seed_capacity=1 << 20,
+                 hit_capacity=1 << 23, seed_capacity=1 << 21,
                  max_extend=2048)
     run_timed("ecoli_pair_cross",
               lambda: device.compare(a, b, cfg), args.runs,

@@ -63,6 +63,7 @@ class Result:
             x_name=self.x.names[0] if self.x.names else "seqX",
             y_name=None if self.self_cmp else (ys.names[0] if ys.names else "seqY"),
             x_len=self.x.total_length, y_len=ys.total_length,
+            x_seqs=self.x, y_seqs=None if self.self_cmp else ys,
         )
 
     def repeat_intervals(self) -> Dict[int, np.ndarray]:

@@ -26,15 +26,35 @@ FRAG_COLUMNS = (
 )
 
 
+def _records_line(axis: str, seqs) -> str:
+    """`Records X : name:offset:length ...` — the concatenated-space map
+    for multi-record SeqSets, so a consumer can resolve the per-row seqX/
+    seqY record ids back to record-local coordinates."""
+    parts = ["%s:%d:%d" % (seqs.names[r], int(seqs.offsets[r]),
+                           int(seqs.lengths[r]))
+             for r in range(len(seqs.names))]
+    return "Records %s : %s\n" % (axis, " ".join(parts))
+
+
 def _render_header(n: int, x_name: str, y_name: Optional[str],
-                   x_len: int, y_len: int, total_hits: int) -> str:
+                   x_len: int, y_len: int, total_hits: int,
+                   x_seqs=None, y_seqs=None) -> str:
     self_cmp = y_name is None
+    rec = ""
+    if x_seqs is not None and x_seqs.names and len(x_seqs.names) > 1:
+        rec += _records_line("X", x_seqs)
+        rec += _records_line("Y", x_seqs if self_cmp else y_seqs) \
+            if self_cmp or (y_seqs is not None and y_seqs.names) else ""
+    elif (not self_cmp and y_seqs is not None and y_seqs.names
+          and len(y_seqs.names) > 1):
+        rec += _records_line("Y", y_seqs)
     return (
         "All by-Identity Fragments (repkiller-tpu)\n"
         "SeqX name : %s\n" % x_name
         + "SeqX length : %d\n" % x_len
         + "SeqY name : %s\n" % (x_name if self_cmp else y_name)
         + "SeqY length : %d\n" % (x_len if self_cmp else y_len)
+        + rec
         + "Total hits (seeds) : %d\n" % total_hits
         + "Total fragments : %d\n" % n
         + "========================================================\n"
@@ -49,16 +69,32 @@ def write_frags_csv(
     x_len: int = 0,
     y_len: int = 0,
     total_hits: int = 0,
+    x_seqs=None,
+    y_seqs=None,
 ) -> None:
     """Write the canonical fragment dict (+ optional "group" column as the
-    `block` field) to CSV. Coordinates are stored 1-based inclusive.
+    `block` field) to CSV. Coordinates are stored 1-based inclusive in the
+    CONCATENATED space (round-trip-safe through read_frags_csv).
+
+    With multi-record x_seqs/y_seqs (SeqSet), the seqX/seqY columns carry
+    each fragment's RECORD id (record of its leftmost base) and the
+    header gains `Records X/Y : name:offset:length ...` lines — so a
+    consumer can tell which chromosome a fragment is on and recover
+    record-local coordinates (round-1 verdict weak item 8, the config #4
+    chr2L+2R shape).
 
     Path destinations go through the native C++ writer when available
-    (byte-identical output — tests/unit/test_native_io.py)."""
+    (byte-identical output — tests/unit/test_native_io.py); multi-record
+    runs use the Python path (per-row record ids)."""
     n = int(frag["xStart"].shape[0])
     self_cmp = y_name is None
-    header = _render_header(n, x_name, y_name, x_len, y_len, total_hits)
-    if isinstance(dst, str):
+    multirec = (x_seqs is not None and x_seqs.names
+                and len(x_seqs.names) > 1) or \
+               (y_seqs is not None and y_seqs.names
+                and len(y_seqs.names) > 1)
+    header = _render_header(n, x_name, y_name, x_len, y_len, total_hits,
+                            x_seqs=x_seqs, y_seqs=y_seqs)
+    if isinstance(dst, str) and not multirec:
         from ..io import native
         if native.available():
             native.write_frags_csv(dst, header, frag, self_cmp)
@@ -78,6 +114,18 @@ def write_frags_csv(
         strand = frag["strand"]
         xs, ys = frag["xStart"], frag["yStart"]
         xe, ye = frag["xEnd"], frag["yEnd"]
+
+        def _rec_ids(seqs, a, b):
+            if seqs is None or not seqs.names or len(seqs.names) < 2:
+                return None
+            left = np.minimum(np.asarray(a), np.asarray(b))
+            offs = np.asarray(seqs.offsets)
+            return np.maximum(
+                np.searchsorted(offs, left, side="right") - 1, 0)
+
+        rx = _rec_ids(x_seqs, xs, xe)
+        ys_set = x_seqs if self_cmp else y_seqs
+        ry = _rec_ids(ys_set, ys, ye)
         for i in range(n):
             ln = int(length[i])
             idn = int(idents[i])
@@ -88,7 +136,10 @@ def write_frags_csv(
                     int(xs[i]) + 1, int(ys[i]) + 1, int(xe[i]) + 1, int(ye[i]) + 1,
                     "f" if int(strand[i]) == 0 else "r",
                     int(group[i]) if group is not None else 0,
-                    ln, int(score[i]), idn, sim, sim, 0, 0 if self_cmp else 1,
+                    ln, int(score[i]), idn, sim, sim,
+                    int(rx[i]) if rx is not None else 0,
+                    int(ry[i]) if ry is not None
+                    else (0 if self_cmp else 1),
                 )
             )
     finally:

@@ -71,3 +71,36 @@ def test_no_fragment_bridges_spacer():
             r0 = np.searchsorted(offs, s, side="right") - 1
             r1 = np.searchsorted(offs, e, side="right") - 1
             assert r0 == r1, "fragment bridges the inter-record spacer"
+
+
+def test_csv_record_ids():
+    """Multi-record runs: the CSV's seqX/seqY columns carry each
+    fragment's record id and the header maps records to concatenated
+    offsets (round-1 verdict weak item 8 — 'which chromosome is a
+    fragment on')."""
+    text, a, b = _two_record_fasta()
+    res = api.compare(text, None, CFG, backend="oracle")
+    buf = io.StringIO()
+    res.write_csv(buf)
+    out = buf.getvalue()
+    rec_line = [l for l in out.splitlines() if l.startswith("Records X : ")]
+    assert rec_line, out.splitlines()[:8]
+    recs = dict()
+    for tok in rec_line[0].split(" : ")[1].split():
+        name, off, ln = tok.rsplit(":", 2)
+        recs[name] = (int(off), int(ln))
+    assert set(recs) == {"chr2L", "chr2R"}
+    assert recs["chr2L"] == (0, 2000) and recs["chr2R"][1] == 1500
+    rows = [l.split(",") for l in out.splitlines() if l.startswith("Frag,")]
+    assert rows
+    offs = {0: 0, 1: recs["chr2R"][0]}
+    lens = {0: 2000, 1: 1500}
+    cross = 0
+    for r in rows:
+        xs, xe = int(r[1]) - 1, int(r[3]) - 1
+        ys, ye = int(r[2]) - 1, int(r[4]) - 1
+        sx, sy = int(r[12]), int(r[13])
+        assert offs[sx] <= xs and xe < offs[sx] + lens[sx], r
+        assert offs[sy] <= min(ys, ye) and max(ys, ye) < offs[sy] + lens[sy], r
+        cross += sx != sy
+    assert cross > 0          # the planted cross-record repeat is reported
