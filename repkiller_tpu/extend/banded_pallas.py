@@ -47,6 +47,28 @@ NEG_INF = -(1 << 30)     # python int: becomes an immediate in-kernel,
 SB = 128          # seeds per block (VPU lane count)
 
 
+def _result_packer(max_extend: int, match: int):
+    """Pack a direction's (ei, ej, gain, idents) into two int32s so the
+    capacity-sized permutation gathers after a compacted kernel pass cost
+    2 gather ops instead of 4 (~7 cycles per gathered ELEMENT on TPU —
+    docs/PERF_NOTES.md "Gathers"). Static None when the config's bounds
+    don't fit 31 bits (huge max_extend); callers then gather unpacked."""
+    ebits = (max_extend + 1).bit_length()         # ei, ej in [0, max_extend]
+    gbits = (max_extend * max(match, 1) + 1).bit_length()
+    if 2 * ebits > 31 or gbits + ebits > 31:
+        return None
+
+    emask = jnp.int32((1 << ebits) - 1)
+
+    def pack(ei, ej, g, idn):
+        return ((ei << ebits) | ej), ((g << ebits) | idn)
+
+    def unpack(p1, p2):
+        return (p1 >> ebits, p1 & emask, p2 >> ebits, p2 & emask)
+
+    return pack, unpack
+
+
 def _up1(x, fill):
     """result[o] = x[o+1]; last row = fill."""
     return jnp.concatenate([x[1:], jnp.full_like(x[:1], fill)], axis=0)
@@ -531,6 +553,8 @@ def extend_banded_pallas_gated(
     anc_slot = jax.lax.cummax(jnp.where(anchor, idx, 0))
     km1 = jnp.int32(k - 1)
 
+    packer = _result_packer(max_extend, match)
+
     def full_compact(base_off, step, need):
         order = jnp.argsort(~need)                # stable: needed first
         n2 = jnp.sum(need.astype(jnp.int32))
@@ -539,7 +563,10 @@ def extend_banded_pallas_gated(
             *common, max_extend, *tail, n_live=n2, packed_x=px2,
             packed_y=py2)
         inv = jnp.argsort(order)
-        return ei[inv], ej[inv], g[inv], idn[inv]
+        if packer is None:
+            return ei[inv], ej[inv], g[inv], idn[inv]
+        p1, p2 = packer[0](ei, ej, g, idn)        # elementwise pack ->
+        return packer[1](p1[inv], p2[inv])        # 2 gathers, not 4
 
     if max_extend > phase1_rows + band:
         def phase1(base_off, step):
@@ -648,10 +675,16 @@ def extend_banded_pallas(
             *common, max_extend, *tail, n_live=n2, packed_x=px2,
             packed_y=py2)
         inv = jnp.argsort(order)                  # inverse permutation
-        return (jnp.where(alive, ei2[inv], ei),
-                jnp.where(alive, ej2[inv], ej),
-                jnp.where(alive, g2[inv], g),
-                jnp.where(alive, id2[inv], idn))
+        packer = _result_packer(max_extend, match)
+        if packer is not None:
+            p1, p2 = packer[0](ei2, ej2, g2, id2)
+            ei2, ej2, g2, id2 = packer[1](p1[inv], p2[inv])
+        else:
+            ei2, ej2, g2, id2 = ei2[inv], ej2[inv], g2[inv], id2[inv]
+        return (jnp.where(alive, ei2, ei),
+                jnp.where(alive, ej2, ej),
+                jnp.where(alive, g2, g),
+                jnp.where(alive, id2, idn))
 
     rei, rej, rg, rid = run_dir(k, +1)
     lei, lej, lg, lid = run_dir(-1, -1)
