@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dump each stage's arrays to DIR; a rerun with "
                          "identical inputs resumes from the last completed "
                          "stage (device backend)")
+    pr.add_argument("--auto-capacity", type=int, default=0, metavar="N",
+                    help="on capacity overflow, double the offending "
+                         "capacity (hit/seed/shard slack) and retry, up to "
+                         "N times — each retry recompiles at the new static "
+                         "shape. 0 = fail fast with the measured counts")
     pr.add_argument("--stage-timing", action="store_true",
                     help="also run the pipeline stage-by-stage and print "
                          "per-stage JSONL timings (forward strand)")
@@ -147,6 +152,28 @@ def _init_runtime(args: argparse.Namespace) -> None:
                          args.process_id)
 
 
+def _grow_capacity(cfg: Config, msg: str):
+    """Map a capacity-overflow ValueError to a doubled Config, or None if
+    the error is not a recognised overflow (--auto-capacity)."""
+    if "hit_capacity" in msg and "overflow" in msg:
+        return (cfg.replace(hit_capacity=cfg.hit_capacity * 2),
+                f"hit_capacity={cfg.hit_capacity * 2}")
+    if "seed_capacity" in msg and "overflow" in msg:
+        return (cfg.replace(seed_capacity=cfg.seed_cap * 2,
+                            hit_capacity=max(cfg.hit_capacity,
+                                             cfg.seed_cap * 2)),
+                f"seed_capacity={cfg.seed_cap * 2}")
+    if "shard_slack" in msg:
+        return (cfg.replace(shard_slack=cfg.shard_slack * 2),
+                f"shard_slack={cfg.shard_slack * 2}")
+    if "frag capacity overflow" in msg:
+        return (cfg.replace(seed_capacity=cfg.seed_cap * 2,
+                            hit_capacity=max(cfg.hit_capacity,
+                                             cfg.seed_cap * 2)),
+                f"seed_capacity={cfg.seed_cap * 2}")
+    return None
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     cfg = _config_from_args(args)
     _init_runtime(args)
@@ -159,8 +186,19 @@ def cmd_run(args: argparse.Namespace) -> int:
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
     try:
-        res = api.compare(src_x, args.fasta_y, cfg, backend=args.backend,
-                          keep_intermediates=args.keep_intermediates)
+        for attempt in range(args.auto_capacity + 1):
+            try:
+                res = api.compare(src_x, args.fasta_y, cfg,
+                                  backend=args.backend,
+                                  keep_intermediates=args.keep_intermediates)
+                break
+            except ValueError as e:
+                grown = _grow_capacity(cfg, str(e))
+                if grown is None or attempt == args.auto_capacity:
+                    raise
+                log.warning("%s — retrying with %s (attempt %d/%d)",
+                            e, grown[1], attempt + 1, args.auto_capacity)
+                cfg = grown[0]
     finally:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
