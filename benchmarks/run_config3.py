@@ -26,6 +26,12 @@ def make_strain_pair(size: int, seed: int):
 
 def main():
     ap = std_args(__doc__, default_size=4_600_000)
+    ap.add_argument("--backend", choices=("device", "streamed"),
+                    default="device",
+                    help="streamed: windowed driver with per-window "
+                         "capacities (hit arrays 4x smaller; the 2^23 "
+                         "whole-genome join program stalled the axon "
+                         "remote compiler)")
     args = ap.parse_args()
     jax_setup(args.platform)
     from repkiller_tpu.config import Config
@@ -42,12 +48,21 @@ def main():
     # keeping the extension wrapper ops 4x smaller than the hit arrays;
     # coverage gating then skips the redundant backbone seeds before the
     # full-depth phase (chain/diagonal.py)
-    cfg = Config(k=12, strands="fr", extend_mode="banded",
-                 hit_capacity=1 << 23, seed_capacity=1 << 21,
-                 max_extend=2048)
-    run_timed("ecoli_pair_cross",
-              lambda: device.compare(a, b, cfg), args.runs,
-              a.shape[0] + b.shape[0])
+    if args.backend == "streamed":
+        from repkiller_tpu.dist.windows import compare_streamed
+        cfg = Config(k=12, strands="fr", extend_mode="banded",
+                     hit_capacity=1 << 21, seed_capacity=1 << 19,
+                     max_extend=2048, window=1 << 20)
+        run_timed("ecoli_pair_cross_streamed",
+                  lambda: compare_streamed(a, b, cfg), args.runs,
+                  a.shape[0] + b.shape[0])
+    else:
+        cfg = Config(k=12, strands="fr", extend_mode="banded",
+                     hit_capacity=1 << 23, seed_capacity=1 << 21,
+                     max_extend=2048)
+        run_timed("ecoli_pair_cross",
+                  lambda: device.compare(a, b, cfg), args.runs,
+                  a.shape[0] + b.shape[0])
 
 
 if __name__ == "__main__":

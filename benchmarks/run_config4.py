@@ -31,8 +31,12 @@ def main():
     g2l = synth.plant(half, fams, seed=21)
     g2r = synth.plant(size - half, fams, seed=22)
     codes = np.concatenate([g2l.codes, np.array([4], np.uint8), g2r.codes])
-    cfg = Config(k=14, strands="fr", extend_mode="banded",
-                 hit_capacity=1 << 20, max_extend=2048)
+    # k=16: at 48 Mbp, k=14 alone yields ~n^2/4^14 = 8.6M random
+    # background hits; k=16 keeps the expected background near 0.5M so
+    # the per-device hit block fits 2^20 (true counts still checked)
+    cfg = Config(k=16, strands="fr", extend_mode="banded",
+                 hit_capacity=1 << 20, seed_capacity=1 << 19,
+                 max_extend=2048)
 
     out, _ = run_timed("dmel_2l2r_masking_sharded",
                        lambda: compare_sharded(codes, None, cfg),

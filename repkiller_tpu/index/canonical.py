@@ -18,21 +18,25 @@ both strand joins into pure O(n) scans over one sorted array:
   entry's partner set is one contiguous interval whose start is a
   segmented prefix count, not a search.
 
-Layout: entries sorted by (canon, invalid, flag, pos). Per entry the
-index records its run's sub-range boundaries, its rank among the
-OPPOSITE flag's entries in original-position order (``alt_before``,
-computed in a (canon, pos)-sorted auxiliary pass), and whether its
-canon is palindromic. seeds/self_join.py consumes this directly.
+Layout: ONE ``lax.sort`` by (canon, pos) — view A, strands interleaved
+in position order. Everything the self-join needs per entry lives in A
+order: the run span, the flag-0/flag-1 boundary (view-B "slot" space),
+the rank among same-flag entries (``own rank``) and among opposite-flag
+entries (``alt_before``) — all from O(n) segmented cumsums. Partner
+ENUMERATION wants the flag-major view-B order, but only the partner
+POSITIONS are ever gathered there, so view B is materialised as one
+scattered ``pos_b`` array (each entry's B slot is its subrun start plus
+its own rank) instead of a second full sort. On-chip at 4.19M entries
+the second 3-operand sort cost ~100 ms and a pos+payload double scatter
+~the same (docs/PERF_NOTES.md round-3 notes); the single pos_b scatter
+is the cheapest of the three formulations.
 
-Cost: two `lax.sort` passes over n entries (the plain index costs one)
-— vs the one-sort-of-3n rank join plus a second index build it
-replaces; measured ~4x cheaper at E. coli scale and it also removes
-the reverse index's build/dispatch entirely.
+Cost: one n-entry `lax.sort` + O(n) scans + one n-entry scatter.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -55,14 +59,19 @@ def revcomp_kmer(km: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 class CanonIndex(NamedTuple):
-    pos: jnp.ndarray         # int32[n]  original position, (canon,flag,pos) order
-    flag: jnp.ndarray        # int32[n]  0: km == canon, 1: km == rc(canon) != canon
-    run_lo: jnp.ndarray      # int32[n]  run start of this entry's canon
-    run_mid: jnp.ndarray     # int32[n]  boundary between flag-0 and flag-1 subruns
-    run_hi: jnp.ndarray      # int32[n]  run end (exclusive)
-    alt_before: jnp.ndarray  # int32[n]  # opposite-flag entries with pos < mine
+    pos: jnp.ndarray         # int32[n]  position, (canon, pos) A order
+    pos_b: jnp.ndarray       # int32[n]  position, flag-major B order
+                             #           (partner gathers only)
+    flag: jnp.ndarray        # int32[n]  0: km == canon, 1: km == rc(canon)
+    run_lo: jnp.ndarray      # int32[n]  B-slot run start of my canon
+    run_mid: jnp.ndarray     # int32[n]  B-slot flag-0/flag-1 boundary
+    run_hi: jnp.ndarray      # int32[n]  B-slot run end (exclusive)
+    own_rank: jnp.ndarray    # int32[n]  # same-flag entries of my run
+                             #           with pos < mine
+    alt_before: jnp.ndarray  # int32[n]  # opposite-flag entries with
+                             #           pos < mine
     palin: jnp.ndarray       # bool[n]   canon == rc(canon)
-    n_valid: jnp.ndarray     # int32     valid prefix length
+    n_valid: jnp.ndarray     # int32     valid prefix length (A order)
 
 
 def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
@@ -81,42 +90,40 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
 
     # Sort operand packing: flag and palin ride in the position key's low
     # bits (pos dominant, so within-run order is still by pos), keeping
-    # each lax.sort at 2-3 operands. Requires pos < 2^29 (per-sequence
+    # the lax.sort at 2 operands. Requires pos < 2^29 (per-sequence
     # genomes < 536 Mbp — int32 coordinates bound the pipeline anyway).
     posfp = (pos << 2) | (flag << 1) | palin
 
-    # view A: (canon, pos) — strands interleaved in pos order.
-    # Per entry: how many opposite-flag entries of my run precede me.
     cA, pfA = jax.lax.sort((canon, posfp), num_keys=2)
+    pA = pfA >> 2
     fA = (pfA >> 1) & 1
+    plA = pfA & 1
     loA, hiA = _run_bounds(cA)
     idx = jnp.arange(n, dtype=jnp.int32)
+
+    # segmented flag cumsums -> per-entry subrun ranks and the flag-0/1
+    # boundary, all in one pass over the A order
     ones_cum = jnp.cumsum(fA)                        # inclusive count of flag-1
     run_start_cum = ones_cum[loA] - fA[loA]          # exclusive at run start
     n1_before = (ones_cum - fA) - run_start_cum      # flag-1 entries before me
     n0_before = (idx - loA) - n1_before
-    alt_beforeA = jnp.where(fA == 1, n0_before, n1_before)
+    own_rank = jnp.where(fA == 1, n1_before, n0_before)
+    alt_before = jnp.where(fA == 1, n0_before, n1_before)
+    n1_run = (ones_cum[jnp.maximum(hiA - 1, 0)] - run_start_cum
+              ).astype(jnp.int32)
+    midA = hiA - n1_run                              # B-slot subrun boundary
 
-    # view B: (canon, flag, pos) — the index order used for expansion;
-    # flag/palin move to the TOP bits (palin is constant per run, so it
-    # never reorders within a run); alt_before rides as payload.
-    # (A scatter-built B — slotB from the A-order cumsums, two O(n)
-    # scatters — was measured on-chip at 247 ms vs this sort's 231 ms
-    # for the whole index build: TPU scatters cost ~as much as the sort
-    # they replace. benchmarks/seeds_dissect.py, 2026-08-20.)
-    keyB = (pfA & 1) << 31 | ((pfA & 2) << 29) | (pfA >> 2)
-    cB, kB, altB = jax.lax.sort((cA, keyB, alt_beforeA), num_keys=2)
-    pB = kB & ((1 << 29) - 1)
-    fB = (kB >> 30) & 1
-    plB = (kB >> 31) & 1
-    loB = jnp.minimum(loA, n_valid)
-    hiB = jnp.minimum(hiA, n_valid)
-    # subrun boundary: flag-0 entries in [lo, mid), flag-1 in [mid, hi).
-    # count of flag-1 in the run via cumsum difference at the bounds
-    f_cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(fB)])
-    n1_run = f_cum[hiB] - f_cum[loB]
-    midB = hiB - n1_run
+    # view-B positions: my B slot = my subrun's start + my own rank (a
+    # bijection within every run, including the sentinel tail, so the
+    # scatter is collision-free)
+    slotB = jnp.where(fA == 1, midA, loA) + own_rank
+    pos_b = jnp.zeros(n, jnp.int32).at[slotB].set(pA)
 
-    return CanonIndex(pos=pB, flag=fB, run_lo=loB, run_mid=midB,
-                      run_hi=hiB, alt_before=altB, palin=plB == 1,
+    lo = jnp.minimum(loA, n_valid)
+    hi = jnp.minimum(hiA, n_valid)
+    mid = jnp.clip(midA, lo, hi)
+
+    return CanonIndex(pos=pA, pos_b=pos_b, flag=fA, run_lo=lo,
+                      run_mid=mid, run_hi=hi, own_rank=own_rank,
+                      alt_before=alt_before, palin=plA == 1,
                       n_valid=n_valid)

@@ -61,7 +61,12 @@ def join_self_canonical(
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
            Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """-> ((hpx_f, hpy_f, valid_f, total_f), (hpx_r, hpy_r, valid_r,
-    total_r)) — forward and reverse strand hits, static capacity each."""
+    total_r)) — forward and reverse strand hits, static capacity each.
+
+    Entries iterate in A (pos-interleaved) order; partner intervals are
+    B-slot ranges (index/canonical.py) whose positions are gathered from
+    the scattered ``pos_b`` view. My own B slot = own subrun start + own
+    rank."""
     n = ci.pos.shape[0]
     xi = jnp.arange(n, dtype=jnp.int32)
     is_valid = xi < ci.n_valid
@@ -72,27 +77,29 @@ def join_self_canonical(
     own_n = own_hi - own_lo
     alt_n = alt_hi - alt_lo
     run_n = ci.run_hi - ci.run_lo
+    slot = own_lo + ci.own_rank          # my B slot
 
     # ---- forward: same k-mer, px < py ----
-    occ_f = jnp.where(ci.palin, run_n, own_n)        # both sides equal
+    # palindromic runs are all flag 0, so own == run there and no
+    # palin special case is needed on the forward side
+    occ_f = own_n                                    # both sides equal
     keep_f = is_valid & (occ_f <= max_occ)
-    f_lo = xi + 1
-    f_hi = jnp.where(ci.palin, ci.run_hi, own_hi)
-    cnt_f = jnp.where(keep_f, jnp.maximum(f_hi - f_lo, 0), 0)
+    f_lo = slot + 1
+    cnt_f = jnp.where(keep_f, jnp.maximum(own_hi - f_lo, 0), 0)
     src_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity)
     hpx_f = jnp.where(valid_f, ci.pos[src_f], 0)
-    hpy_f = jnp.where(valid_f, ci.pos[jnp.clip(yi_f, 0, n - 1)], 0)
+    hpy_f = jnp.where(valid_f, ci.pos_b[jnp.clip(yi_f, 0, n - 1)], 0)
 
     # ---- reverse: km_p == rc(km_q), p <= q (palindrome self kept once) ----
-    occ_rx = jnp.where(ci.palin, run_n, own_n)       # km_p occurrences in X
+    occ_rx = own_n                                   # km_p occurrences in X
     occ_ry = jnp.where(ci.palin, run_n, alt_n)       # in revcomp(X)
     keep_r = is_valid & (occ_rx <= max_occ) & (occ_ry <= max_occ)
-    r_lo = jnp.where(ci.palin, xi, alt_lo + ci.alt_before)
+    r_lo = jnp.where(ci.palin, slot, alt_lo + ci.alt_before)
     r_hi = jnp.where(ci.palin, ci.run_hi, alt_hi)
     cnt_r = jnp.where(keep_r, jnp.maximum(r_hi - r_lo, 0), 0)
     src_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity)
     hpx_r = jnp.where(valid_r, ci.pos[src_r], 0)
-    q = ci.pos[jnp.clip(yi_r, 0, n - 1)]
+    q = ci.pos_b[jnp.clip(yi_r, 0, n - 1)]
     hpy_r = jnp.where(valid_r, jnp.int32(y_len - k) - q, 0)
 
     return ((hpx_f, hpy_f, valid_f, total_f),
