@@ -110,22 +110,24 @@ def main() -> int:
     timeit("gathers only (1 dir, E=192)", gathers_only,
            spx, spy, sv, codes, n_seeds)
 
-    def ext(phase1, two_phase=True):
+    def ext(phase1, pre=0, two_phase=True):
         @jax.jit
         def f(spx, spy, sv, codes, n_seeds):
             return extend_banded_pallas(
                 spx, spy, sv, codes, codes, cfg.k, cfg.match, cfg.mismatch,
                 cfg.x_drop, cfg.max_extend, cfg.band, cfg.gap_open,
                 cfg.gap_extend, n_live=n_seeds, two_phase=two_phase,
-                phase1_rows=phase1)
+                phase1_rows=phase1, phase1_pre=pre)
         return f
 
-    timeit("extend fwd (two-phase, p1=192)", ext(192),
-           spx, spy, sv, codes, n_seeds)
-    timeit("extend fwd (two-phase, p1=96)", ext(96),
-           spx, spy, sv, codes, n_seeds)
-    timeit("extend fwd (two-phase, p1=64)", ext(64),
-           spx, spy, sv, codes, n_seeds)
+    a = timeit("extend fwd (two-phase, p1=192)", ext(192),
+               spx, spy, sv, codes, n_seeds)
+    b = timeit("extend fwd (cascade 96->192)", ext(192, pre=96),
+               spx, spy, sv, codes, n_seeds)
+    import numpy as np
+    for f in a:
+        assert np.array_equal(np.asarray(a[f]), np.asarray(b[f])), f
+    print("# cascade == two-phase: bit-identical")
     return 0
 
 

@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.scan import partition_live as _partition_live
+
 NEG_INF = -(1 << 30)     # python int: becomes an immediate in-kernel,
                          # NOT a captured traced constant (pallas forbids)
 SB = 128          # seeds per block (VPU lane count)
@@ -493,6 +495,27 @@ def _direction(px, py, seed_valid, cx, cy, base_off: int, step: int,
     return outs[0], outs[1], outs[2], outs[3], outs[4]
 
 
+def _compact_rerun(px, py, need, cx, cy, base_off, step, common, cap_rows,
+                   tail, px2, py2, packer, jcap=None, want_alive=False):
+    """Re-run one direction at row cap ``cap_rows`` for the ``need``
+    seeds, front-compacted via :func:`_partition_live`; results come
+    back in slot order (slots outside ``need`` carry garbage — callers
+    select with ``jnp.where(need, ...)``). Gather count is what this
+    optimises: 3 in-permutation gathers, then 2 packed result gathers
+    (or 4 unpacked) + optionally the alive row."""
+    order, dest, n2 = _partition_live(need)
+    ei, ej, g, idn, alive = _direction(
+        px[order], py[order], need[order], cx, cy, base_off, step,
+        *common, cap_rows, *tail, n_live=n2, packed_x=px2, packed_y=py2,
+        jcap_override=jcap)
+    if packer is not None:
+        p1, p2 = packer[0](ei, ej, g, idn)
+        ei, ej, g, idn = packer[1](p1[dest], p2[dest])
+    else:
+        ei, ej, g, idn = ei[dest], ej[dest], g[dest], idn[dest]
+    return ei, ej, g, idn, (alive[dest] if want_alive else None)
+
+
 def extend_banded_pallas_gated(
     px: jnp.ndarray, py: jnp.ndarray, seed_valid: jnp.ndarray,
     anchor: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
@@ -500,6 +523,7 @@ def extend_banded_pallas_gated(
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
     n_live=None, packed: bool = True, phase1_rows: int = 192,
+    phase1_pre: int = 96,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Coverage gating FUSED into the two-phase extension (chain/diagonal.py
     semantics, banded-Pallas hot path) -> (frag dict, valid mask).
@@ -512,8 +536,14 @@ def extend_banded_pallas_gated(
     rides the two-phase structure instead, so its cost is four extra
     capacity-sized gathers:
 
-      1. phase 1 (row cap ``phase1_rows``) runs over ALL seeds once — no
-         anchor reorder needed, results stay in slot order;
+      1. phase 1 runs as a CASCADE of row caps (``phase1_pre`` over ALL
+         seeds in slot order, then ``phase1_rows`` re-running only the
+         compacted pre-tier survivors not already gated by their
+         anchor's pre-tier extent) — death at a row cap is final and
+         cap endpoints are monotone in the cap, so the merged result is
+         bit-identical to a single cap-``phase1_rows`` pass while deep
+         seeds stop dragging whole blocks through rows the mean seed
+         never reaches;
       2. non-anchors whose k-mer window is covered by their bucket
          anchor's PHASE-1 x-extent are gated immediately: phase-1
          endpoints are lower bounds of full-depth endpoints (death at the
@@ -556,33 +586,66 @@ def extend_banded_pallas_gated(
     packer = _result_packer(max_extend, match)
 
     def full_compact(base_off, step, need):
-        order = jnp.argsort(~need)                # stable: needed first
-        n2 = jnp.sum(need.astype(jnp.int32))
-        ei, ej, g, idn, _ = _direction(
-            px[order], py[order], need[order], cx, cy, base_off, step,
-            *common, max_extend, *tail, n_live=n2, packed_x=px2,
-            packed_y=py2)
-        inv = jnp.argsort(order)
-        if packer is None:
-            return ei[inv], ej[inv], g[inv], idn[inv]
-        p1, p2 = packer[0](ei, ej, g, idn)        # elementwise pack ->
-        return packer[1](p1[inv], p2[inv])        # 2 gathers, not 4
+        ei, ej, g, idn, _ = _compact_rerun(
+            px, py, need, cx, cy, base_off, step, common, max_extend,
+            tail, px2, py2, packer)
+        return ei, ej, g, idn
 
     if max_extend > phase1_rows + band:
-        def phase1(base_off, step):
-            return _direction(
-                px, py, seed_valid, cx, cy, base_off, step, *common,
-                phase1_rows, *tail, n_live=n_live, packed_x=px2,
-                packed_y=py2, jcap_override=phase1_rows + band)
+        pre = phase1_pre if 0 < phase1_pre < phase1_rows else phase1_rows
 
-        rei1, rej1, rg1, rid1, r_alive = phase1(k, +1)
-        lei1, lej1, lg1, lid1, l_alive = phase1(-1, -1)
+        def phase1(base_off, step):
+            ei, ej, g, idn, alive = _direction(
+                px, py, seed_valid, cx, cy, base_off, step, *common,
+                pre, *tail, n_live=n_live, packed_x=px2,
+                packed_y=py2, jcap_override=pre + band)
+            return ei, ej, g, idn, seed_valid & (alive == 1)
+
+        rei1, rej1, rg1, rid1, r_aliveA = phase1(k, +1)
+        lei1, lej1, lg1, lid1, l_aliveA = phase1(-1, -1)
+        if pre < phase1_rows:
+            # tier-A gating + compacted tier-B re-run: a non-anchor whose
+            # k-mer window is covered by its anchor's tier-A extent is
+            # covered by the anchor's final extent too (row-cap endpoints
+            # are monotone in the cap — the jcap argument), so it needs
+            # neither the cap-``phase1_rows`` re-run nor full depth. On a
+            # near-identical pair (config #3) this drops the backbone
+            # non-anchors after ``pre`` rows instead of ``phase1_rows``.
+            a_sA = (px - lei1)[anc_slot]
+            a_eA = (px + km1 + rei1)[anc_slot]
+            covA = seed_valid & ~anchor & (a_sA <= px) & (a_eA >= px + km1)
+            nB_r = r_aliveA & ~covA
+            nB_l = l_aliveA & ~covA
+
+            def tierB(base_off, step, need):
+                return _compact_rerun(
+                    px, py, need, cx, cy, base_off, step, common,
+                    phase1_rows, tail, px2, py2, packer,
+                    jcap=phase1_rows + band, want_alive=True)
+
+            reiB, rejB, rgB, ridB, r_alB = tierB(k, +1, nB_r)
+            leiB, lejB, lgB, lidB, l_alB = tierB(-1, -1, nB_l)
+            rei1 = jnp.where(nB_r, reiB, rei1)
+            rej1 = jnp.where(nB_r, rejB, rej1)
+            rg1 = jnp.where(nB_r, rgB, rg1)
+            rid1 = jnp.where(nB_r, ridB, rid1)
+            lei1 = jnp.where(nB_l, leiB, lei1)
+            lej1 = jnp.where(nB_l, lejB, lej1)
+            lg1 = jnp.where(nB_l, lgB, lg1)
+            lid1 = jnp.where(nB_l, lidB, lid1)
+            # merged alive-at-phase1_rows; False for tier-A-gated seeds is
+            # safe — covered1 below excludes them from ``maybe`` anyway
+            # (anchor extents only grow from tier A to tier B)
+            r_alive = nB_r & (r_alB == 1)
+            l_alive = nB_l & (l_alB == 1)
+        else:
+            r_alive, l_alive = r_aliveA, l_aliveA
         a_s1 = (px - lei1)[anc_slot]
         a_e1 = (px + km1 + rei1)[anc_slot]
         covered1 = seed_valid & ~anchor & (a_s1 <= px) & (a_e1 >= px + km1)
         maybe = seed_valid & ~covered1
-        need_r = maybe & (r_alive == 1)
-        need_l = maybe & (l_alive == 1)
+        need_r = maybe & r_alive
+        need_l = maybe & l_alive
         rei2, rej2, rg2, rid2 = full_compact(k, +1, need_r)
         lei2, lej2, lg2, lid2 = full_compact(-1, -1, need_l)
         rei = jnp.where(need_r, rei2, rei1)
@@ -632,7 +695,7 @@ def extend_banded_pallas(
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
     n_live=None, packed: bool = True, two_phase: bool = True,
-    phase1_rows: int = 192,
+    phase1_rows: int = 192, phase1_pre: int = 96,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
 
@@ -657,30 +720,35 @@ def extend_banded_pallas(
                 px, py, seed_valid, cx, cy, base_off, step, *common,
                 max_extend, *tail, n_live=n_live, packed_x=px2, packed_y=py2)
             return ei, ej, g, idn
-        # Phase 1: row cap phase1_rows, column cap phase1_rows + band, so
-        # every computed cell equals the full-depth run's cell and death
-        # by the row cap is FINAL. Survivors (still-live band cells) are
-        # compacted to the front and re-run from scratch at full depth —
-        # deep repeat seeds stop dragging whole blocks of shallow seeds
-        # through max_extend rows.
+        # Cascade of row caps: a pass at cap C computes cells identical to
+        # the full-depth run's (column cap C + band — the jcap argument),
+        # so death by the cap is FINAL and survivors can be compacted to
+        # the front and re-run from scratch at the next cap — deep repeat
+        # seeds stop dragging whole blocks of shallow seeds through
+        # max_extend rows. Tiers pre=96 -> 192 -> full fit the measured
+        # survival curve (96: ~17%, 192: ~0.6% on the headline workload;
+        # docs/PERF_NOTES.md "Extension economics"): expected block-rows
+        # per seed drop from ~192 to ~96 + 0.17*192 ~ 129.
+        packer = _result_packer(max_extend, match)
+        pre = phase1_pre if 0 < phase1_pre < phase1_rows else phase1_rows
         ei, ej, g, idn, alive = _direction(
             px, py, seed_valid, cx, cy, base_off, step, *common,
-            phase1_rows, *tail, n_live=n_live, packed_x=px2, packed_y=py2,
-            jcap_override=phase1_rows + band)
+            pre, *tail, n_live=n_live, packed_x=px2, packed_y=py2,
+            jcap_override=pre + band)
         alive = (alive == 1) & seed_valid
-        order = jnp.argsort(~alive)               # stable: alive first
-        n2 = jnp.sum(alive.astype(jnp.int32))
-        ei2, ej2, g2, id2, _ = _direction(
-            px[order], py[order], alive[order], cx, cy, base_off, step,
-            *common, max_extend, *tail, n_live=n2, packed_x=px2,
-            packed_y=py2)
-        inv = jnp.argsort(order)                  # inverse permutation
-        packer = _result_packer(max_extend, match)
-        if packer is not None:
-            p1, p2 = packer[0](ei2, ej2, g2, id2)
-            ei2, ej2, g2, id2 = packer[1](p1[inv], p2[inv])
-        else:
-            ei2, ej2, g2, id2 = ei2[inv], ej2[inv], g2[inv], id2[inv]
+        if pre < phase1_rows:
+            eiB, ejB, gB, idB, alB = _compact_rerun(
+                px, py, alive, cx, cy, base_off, step, common,
+                phase1_rows, tail, px2, py2, packer,
+                jcap=phase1_rows + band, want_alive=True)
+            ei = jnp.where(alive, eiB, ei)
+            ej = jnp.where(alive, ejB, ej)
+            g = jnp.where(alive, gB, g)
+            idn = jnp.where(alive, idB, idn)
+            alive = alive & (alB == 1)
+        ei2, ej2, g2, id2, _ = _compact_rerun(
+            px, py, alive, cx, cy, base_off, step, common, max_extend,
+            tail, px2, py2, packer)
         return (jnp.where(alive, ei2, ei),
                 jnp.where(alive, ej2, ej),
                 jnp.where(alive, g2, g),

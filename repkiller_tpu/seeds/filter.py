@@ -2,9 +2,9 @@
 
 Bucket-quantised diagonal thinning, matching oracle.pipeline.filter_hits:
 sort hits by (diag, px) — a total order, since (diag, px) determines py —
-and keep the first hit of every (diag, px // min_hit_dist) bucket. The
-sort doubles as the compaction that squeezes invalid slots to the tail,
-so the output is extension-ready: a dense, deterministic seed list.
+and keep the first hit of every (diag, px // min_hit_dist) bucket. A
+stable partition then squeezes the kept hits to the front, so the output
+is extension-ready: a dense, deterministic seed list.
 """
 
 from __future__ import annotations
@@ -13,6 +13,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.scan import partition_live
 
 
 INT32_MAX = jnp.int32(0x7FFFFFFF)
@@ -47,12 +49,13 @@ def filter_hits(
     )
     keep = valid_s & first
 
-    # compact kept hits to the front, preserving (diag, px) order
-    diag2 = jnp.where(keep, diag_s, INT32_MAX)
-    _, px_c, py_c = jax.lax.sort((diag2, px_s, py_s), num_keys=2)
-    n_kept = jnp.sum(keep.astype(jnp.int32))
-    if out_capacity is not None and out_capacity < px_c.shape[0]:
-        px_c, py_c = px_c[:out_capacity], py_c[:out_capacity]
+    # compact kept hits to the front, preserving (diag, px) order: a
+    # stable partition (one scatter + two gathers, trimmed to
+    # out_capacity) instead of a second capacity-sized 3-operand sort
+    order, _, n_kept = partition_live(keep)
+    if out_capacity is not None and out_capacity < order.shape[0]:
+        order = order[:out_capacity]
+    px_c, py_c = px_s[order], py_s[order]
     valid_c = jnp.arange(px_c.shape[0], dtype=jnp.int32) < n_kept
     px_c = jnp.where(valid_c, px_c, 0)
     py_c = jnp.where(valid_c, py_c, 0)

@@ -26,6 +26,26 @@ def segmented_cummax(values: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def partition_live(flag: jnp.ndarray):
+    """Stable front-compaction permutation for a boolean mask.
+
+    Returns ``(order, dest, n_live)`` where ``order`` lists live slots
+    first (slot order preserved within each class) and ``dest`` is its
+    inverse permutation (``order[dest[i]] = i``), so a compacted-result
+    array ``R`` maps back to slot order as ``R[dest]``. Built from one
+    cumsum and ONE scatter — a capacity-sized ``argsort`` pair or a
+    compaction ``lax.sort`` costs several full passes for the same
+    permutation (docs/PERF_NOTES.md "Scatters": one scatter ~ one sort
+    PASS)."""
+    n = flag.shape[0]
+    c = jnp.cumsum(flag.astype(jnp.int32))
+    n_live = c[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dest = jnp.where(flag, c - 1, n_live + idx - c)
+    order = jnp.zeros(n, jnp.int32).at[dest].set(idx, unique_indices=True)
+    return order, dest, n_live
+
+
 def prefix_in_segment(values: jnp.ndarray, boundary: jnp.ndarray, fill) -> jnp.ndarray:
     """Exclusive per-segment prefix of an inclusive per-segment scan result.
 

@@ -138,7 +138,7 @@ def test_two_phase_matches_single_phase():
     valid = np.ones(n, bool)
     valid[100:] = False
 
-    def run(two_phase, phase1_rows=32):
+    def run(two_phase, phase1_rows=32, pre=0):
         frag = extend_banded_pallas(
             jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
             jnp.asarray(cx), jnp.asarray(cy),
@@ -146,13 +146,15 @@ def test_two_phase_matches_single_phase():
             x_drop=cfg.x_drop, max_extend=cfg.max_extend,
             band=cfg.band, gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
             seed_chunk=128, interpret=True, two_phase=two_phase,
-            phase1_rows=phase1_rows, n_live=jnp.int32(100))
+            phase1_rows=phase1_rows, phase1_pre=pre, n_live=jnp.int32(100))
         return {k2: np.asarray(v) for k2, v in frag.items()}
 
     one = run(False)
     two = run(True)
+    three = run(True, phase1_rows=64, pre=32)    # pre-tier cascade branch
     for f in ("xStart", "yStart", "xEnd", "yEnd", "score", "idents"):
         assert np.array_equal(one[f], two[f]), f
+        assert np.array_equal(one[f], three[f]), f
     want = obanded.extend_banded(px[:100], py[:100], cx, cy, cfg)
     for f in ("xStart", "yStart", "xEnd", "yEnd", "score", "idents"):
         assert np.array_equal(two[f][:100], want[f]), f
