@@ -116,6 +116,27 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
     m32, mm32 = int(match), int(mismatch)
     b = band
 
+    # Packed F-scan (the per-row hot loop's biggest op block): the
+    # horizontal-gap donor scan needs max-plus over (w, donor id) with
+    # argmax-LAST offset tie-breaking. Packing (biased w, offset, id)
+    # into ONE int32 makes each Hillis-Steele step a shift+max (2 vector
+    # ops) instead of shift/compare/2x select/max over two arrays (~6):
+    # packed max IS lexicographic (w, o) — donors come from lower
+    # offsets, so a w-tie keeps the current (later-offset) value,
+    # exactly the unpacked rule — and id rides in the low bits without
+    # ever deciding a comparison (o is unique per sublane). Bounds are
+    # static config ints; when they don't fit 31 bits the kernel falls
+    # back to the unpacked scan (bit-identical either way).
+    #   live w lower bound: M >= -xd + mismatch; E chains decay by ext
+    #   per row from >= -(xd + open + ext), so w = ME + o*ext >= L.
+    _L = -(xd + open_ + ext * (E + 1) + max(-mm32, 0)) - 1
+    _U = E * max(m32, 1) + (WP - 1) * max(ext, 1) + 1
+    _bid = (E + 1).bit_length()              # idents in [0, E]
+    _bo = max((WP - 1).bit_length(), 1)      # offset in [0, WP)
+    _bw = (_U - _L + 2).bit_length()
+    PACKF = _bw + _bo + _bid <= 31
+    _shw, _sho = _bo + _bid, _bid
+
     LA = 32   # i8 VMEM sublane alignment: dynamic loads must be 32-aligned
     WL = -(-WP // LA) * LA
     G = group # DP rows per loop step: one aligned x block, one y block,
@@ -212,12 +233,27 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                 ME = jnp.maximum(M, Enew)
                 IME = jnp.where(M >= Enew, IM, IEnew)
 
-                w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
-                wmax, wid = _scan_max_plus(w, IME, WP)
-                wmax_ex = _down(wmax, 1, NEG_INF)
-                wid_ex = _down(wid, 1, 0)
-                F = jnp.where((wmax_ex > NEG_INF) & yok,
-                              wmax_ex - open_ - o_col * ext, NEG_INF)
+                if PACKF:
+                    pw = jnp.where(
+                        ME > NEG_INF,
+                        ((ME + o_col * ext - (_L - 1)) << _shw)
+                        | (o_col << _sho) | IME, 0)
+                    d = 1
+                    while d < WP:
+                        pw = jnp.maximum(pw, _down(pw, d, 0))
+                        d *= 2
+                    pex = _down(pw, 1, 0)
+                    wmax_ex = (pex >> _shw) + (_L - 1)
+                    wid_ex = (pex & ((1 << _bid) - 1))
+                    F = jnp.where((pex > 0) & yok,
+                                  wmax_ex - open_ - o_col * ext, NEG_INF)
+                else:
+                    w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
+                    wmax, wid = _scan_max_plus(w, IME, WP)
+                    wmax_ex = _down(wmax, 1, NEG_INF)
+                    wid_ex = _down(wid, 1, 0)
+                    F = jnp.where((wmax_ex > NEG_INF) & yok,
+                                  wmax_ex - open_ - o_col * ext, NEG_INF)
 
                 Hn = jnp.maximum(ME, F)
                 IHn = jnp.where(ME >= F, IME, wid_ex)
@@ -523,7 +559,7 @@ def extend_banded_pallas_gated(
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
     n_live=None, packed: bool = True, phase1_rows: int = 192,
-    phase1_pre: int = 96,
+    phase1_pre: int = 0,
 ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """Coverage gating FUSED into the two-phase extension (chain/diagonal.py
     semantics, banded-Pallas hot path) -> (frag dict, valid mask).
@@ -695,7 +731,7 @@ def extend_banded_pallas(
     band: int, gap_open: int, gap_extend: int,
     seed_chunk: int = 8192, interpret: bool | None = None,
     n_live=None, packed: bool = True, two_phase: bool = True,
-    phase1_rows: int = 192, phase1_pre: int = 96,
+    phase1_rows: int = 192, phase1_pre: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Drop-in replacement for extend/banded_xla.extend_banded (bit-identical).
 

@@ -116,6 +116,39 @@ def test_gated_device_matches_oracle_cross(ci):
     assert got["xStart"].shape[0] > 0
 
 
+def test_gated_cascade_matches_two_phase():
+    """phase1_pre cascade branch of the fused gated extension (off by
+    default — measured slower on the headline chip workload, kept for
+    workload-specific tuning) must be bit-identical to the single
+    phase-1 pass."""
+    import jax.numpy as jnp
+    from repkiller_tpu.extend.banded_pallas import extend_banded_pallas_gated
+    from repkiller_tpu.oracle import pipeline as orc2
+
+    cfg = Config(k=12, gate_stride=128, min_hit_dist=16, strands="f",
+                 extend_mode="banded", band=4, max_extend=256)
+    g = synth.plant(2500, [(200, 3, 0.02, 0)], seed=77)
+    idx = orc2.build_index(g.codes, cfg.k)
+    px, py = orc2.find_hits(idx, idx, cfg, self_mode="f")
+    px, py = orc2.filter_hits(px, py, cfg)
+    anchor = orc2.gate_anchors(px, py, cfg)
+    n = px.shape[0]
+    kw = dict(k=cfg.k, match=cfg.match, mismatch=cfg.mismatch,
+              x_drop=cfg.x_drop, max_extend=cfg.max_extend, band=cfg.band,
+              gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+              seed_chunk=128, interpret=True)
+    args = (jnp.asarray(px), jnp.asarray(py), jnp.ones(n, bool),
+            jnp.asarray(anchor), jnp.asarray(g.codes), jnp.asarray(g.codes))
+    fa, va = extend_banded_pallas_gated(*args, phase1_rows=64,
+                                        phase1_pre=0, **kw)
+    fb, vb = extend_banded_pallas_gated(*args, phase1_rows=64,
+                                        phase1_pre=32, **kw)
+    assert np.array_equal(np.asarray(va), np.asarray(vb))
+    for f in fa:
+        assert np.array_equal(np.asarray(fa[f]), np.asarray(fb[f])), f
+    assert int(np.asarray(va).sum()) > 0
+
+
 def test_gated_streamed_invariant():
     from repkiller_tpu.dist.windows import compare_streamed
 
