@@ -53,6 +53,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..extend import extend_dispatch
 from ..extend.banded_pallas import extend_banded_pallas_gated
+from ..utils.scan import partition_live
 
 
 def extend_gated(
@@ -92,8 +93,7 @@ def extend_gated(
 
     # anchors to the front (stable: keeps (diag, px) order, which the
     # Pallas extender's n_live contract requires — live seeds dense)
-    order_a = jnp.argsort(~anchor, stable=True)
-    n_anchor = jnp.sum(anchor.astype(jnp.int32))
+    order_a, _, n_anchor = partition_live(anchor)
     fa = extend_dispatch(spx[order_a], spy[order_a], anchor[order_a],
                          cx, cy, cfg, n_live=n_anchor)
 
@@ -108,11 +108,9 @@ def extend_gated(
         & (a_e >= spx + jnp.int32(cfg.k - 1))
     surv = svalid & ~anchor & ~covered
 
-    order_s = jnp.argsort(~surv, stable=True)
-    n_surv = jnp.sum(surv.astype(jnp.int32))
+    order_s, inv_s, n_surv = partition_live(surv)
     fs = extend_dispatch(spx[order_s], spy[order_s], surv[order_s],
                          cx, cy, cfg, n_live=n_surv)
-    inv_s = jnp.argsort(order_s, stable=True)
 
     frag = {}
     for f in fa:

@@ -572,14 +572,16 @@ def extend_banded_pallas_gated(
     rides the two-phase structure instead, so its cost is four extra
     capacity-sized gathers:
 
-      1. phase 1 runs as a CASCADE of row caps (``phase1_pre`` over ALL
-         seeds in slot order, then ``phase1_rows`` re-running only the
-         compacted pre-tier survivors not already gated by their
-         anchor's pre-tier extent) — death at a row cap is final and
-         cap endpoints are monotone in the cap, so the merged result is
-         bit-identical to a single cap-``phase1_rows`` pass while deep
-         seeds stop dragging whole blocks through rows the mean seed
-         never reaches;
+      1. phase 1 (row cap ``phase1_rows``) runs over ALL seeds once — no
+         anchor reorder needed, results stay in slot order. With
+         ``phase1_pre > 0`` it instead runs as a cascade of row caps
+         (a ``phase1_pre`` tier over all seeds, then ``phase1_rows``
+         re-running only the compacted pre-tier survivors not already
+         gated by their anchor's pre-tier extent) — bit-identical
+         because death at a row cap is final and cap endpoints are
+         monotone in the cap. Off by default: measured slower on the
+         headline chip workload (docs/PERF_NOTES.md round-3 cascade
+         experiment);
       2. non-anchors whose k-mer window is covered by their bucket
          anchor's PHASE-1 x-extent are gated immediately: phase-1
          endpoints are lower bounds of full-depth endpoints (death at the
