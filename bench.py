@@ -80,16 +80,32 @@ def main() -> int:
 
     # staged execution: per-stage programs compile in minutes on the axon
     # remote compiler where the fused whole-pipeline program takes ~an
-    # hour, failures are attributable, and stage walls are reported
-    t0 = time.perf_counter()
-    out, n_frags, totals, nseeds = device.compare_staged(codes, codes, cfg, True)
-    jax.block_until_ready((out, n_frags, totals))
-    compile_s = time.perf_counter() - t0
-    print(f"# warmup (compile+run): {compile_s:.1f}s; fragments={int(n_frags)} "
-          f"hit totals={list(map(int, totals))}", file=sys.stderr)
+    # hour, failures are attributable, and stage walls are reported.
+    # Warmup self-tunes capacities (utils/capacity.py) so a non-default
+    # --size doesn't kill an unattended campaign on the first overflow.
+    from repkiller_tpu.utils.capacity import grow_capacity
+    for _attempt in range(5):
+        t0 = time.perf_counter()
+        out, n_frags, totals, nseeds = device.compare_staged(
+            codes, codes, cfg, True)
+        jax.block_until_ready((out, n_frags, totals))
+        compile_s = time.perf_counter() - t0
+        print(f"# warmup (compile+run): {compile_s:.1f}s; "
+              f"fragments={int(n_frags)} "
+              f"hit totals={list(map(int, totals))}", file=sys.stderr)
+        if max(map(int, totals)) > cfg.hit_capacity:
+            msg = "hit_capacity overflow"
+        elif max(map(int, nseeds)) > cfg.seed_cap:
+            msg = "seed_capacity overflow"
+        else:
+            break
+        grown = grow_capacity(cfg, msg)
+        assert grown is not None
+        print(f"# {msg} -> retrying with {grown[1]}", file=sys.stderr)
+        cfg = grown[0]
+    else:
+        raise SystemExit("capacity still overflowing after 5 doublings")
     assert int(n_frags) > 0, "bench produced no fragments — not a valid run"
-    assert max(map(int, totals)) <= cfg.hit_capacity, "hit capacity overflow"
-    assert max(map(int, nseeds)) <= cfg.seed_cap, "seed capacity overflow"
 
     times = []
     stage = {}

@@ -40,19 +40,37 @@ def std_args(desc: str, default_size: int):
     return ap
 
 
-def run_timed(tag: str, fn, runs: int, bp: int):
-    """Warmup (compile) + timed runs; prints one JSONL record."""
+def run_timed(tag: str, fn, runs: int, bp: int, cfg=None, retries=4):
+    """Warmup (compile) + timed runs; prints one JSONL record.
+
+    With cfg given, fn must take a Config and the warmup runs under
+    with_auto_capacity (utils/capacity.py): an undersized first capacity
+    guess doubles and retries instead of killing an unattended campaign
+    (round-3 verdict item 7); the timed runs reuse the grown config and
+    the record notes any growth.
+    """
+    from repkiller_tpu.utils.capacity import with_auto_capacity
     t0 = time.perf_counter()
-    out = fn()
+    if cfg is not None:
+        out, used_cfg = with_auto_capacity(fn, cfg, retries)
+        call = lambda: fn(used_cfg)  # noqa: E731
+        grown = {f: getattr(used_cfg, f)
+                 for f in ("hit_capacity", "seed_capacity", "shard_slack")
+                 if getattr(used_cfg, f) != getattr(cfg, f)}
+    else:
+        call = fn
+        out, grown = fn(), {}
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(max(0, runs - 1) or 1):
         t0 = time.perf_counter()
-        out = fn()
+        out = call()
         times.append(time.perf_counter() - t0)
     best = min(times)
     rec = {"config": tag, "bp": bp, "warmup_s": round(compile_s, 3),
            "run_s": round(best, 4), "bp_per_s": round(bp / best, 1),
            "fragments": int(out["xStart"].shape[0])}
+    if grown:
+        rec["auto_capacity_grown"] = grown
     print(json.dumps(rec))
     return out, rec

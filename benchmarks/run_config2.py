@@ -28,8 +28,8 @@ def main():
             (1024, 6, 0.01, 2)]
     g = synth.plant(size, fams, seed=4242)
     out, _ = run_timed("yeast_self_k16_families",
-                       lambda: device.compare(g.codes, None, cfg),
-                       args.runs, size)
+                       lambda c: device.compare(g.codes, None, c),
+                       args.runs, size, cfg=cfg)
     fams_found = np.unique(out["group"]).shape[0] if out["group"].size else 0
     stats = orc.family_stats(out, out["group"])
     print(json.dumps({"config": "yeast_self_k16_families",

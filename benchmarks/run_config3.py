@@ -54,15 +54,15 @@ def main():
                      hit_capacity=1 << 21, seed_capacity=1 << 19,
                      max_extend=2048, window=1 << 20)
         run_timed("ecoli_pair_cross_streamed",
-                  lambda: compare_streamed(a, b, cfg), args.runs,
-                  a.shape[0] + b.shape[0])
+                  lambda c: compare_streamed(a, b, c), args.runs,
+                  a.shape[0] + b.shape[0], cfg=cfg)
     else:
         cfg = Config(k=12, strands="fr", extend_mode="banded",
                      hit_capacity=1 << 23, seed_capacity=1 << 21,
                      max_extend=2048)
         run_timed("ecoli_pair_cross",
-                  lambda: device.compare(a, b, cfg), args.runs,
-                  a.shape[0] + b.shape[0])
+                  lambda c: device.compare(a, b, c), args.runs,
+                  a.shape[0] + b.shape[0], cfg=cfg)
 
 
 if __name__ == "__main__":

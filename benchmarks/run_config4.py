@@ -39,8 +39,8 @@ def main():
                  max_extend=2048)
 
     out, _ = run_timed("dmel_2l2r_masking_sharded",
-                       lambda: compare_sharded(codes, None, cfg),
-                       args.runs, size)
+                       lambda c: compare_sharded(codes, None, c),
+                       args.runs, size, cfg=cfg)
     iv = orc.repeat_intervals(out, out["group"], cfg, self_cmp=True)
     masked = report_iv.mask_codes(codes, iv.get(0))
     masked_bp = int((masked == 4).sum() - (codes == 4).sum())

@@ -30,6 +30,8 @@ def main():
     from repkiller_tpu.dist.sharded import compare_sharded
     from repkiller_tpu.utils import synth
 
+    if (args.num_processes or 1) > 1 and args.platform == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     size = int(args.size * args.scale)
@@ -41,8 +43,8 @@ def main():
                  hit_capacity=1 << 21, max_extend=2048)
     mesh = make_mesh()
     out, rec = run_timed("human_chr1_multihost",
-                         lambda: compare_sharded(g.codes, None, cfg, mesh),
-                         args.runs, size)
+                         lambda c: compare_sharded(g.codes, None, c, mesh),
+                         args.runs, size, cfg=cfg)
     n_dev = jax.device_count()
     eff = (rec["bp_per_s"] / (n_dev * args.baseline)
            if args.baseline else None)

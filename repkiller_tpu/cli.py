@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 from .config import Config, DEFAULT
+from .utils.capacity import grow_capacity as _grow_capacity
 from . import api
 
 log = logging.getLogger("repkiller_tpu")
@@ -152,26 +153,8 @@ def _init_runtime(args: argparse.Namespace) -> None:
                          args.process_id)
 
 
-def _grow_capacity(cfg: Config, msg: str):
-    """Map a capacity-overflow ValueError to a doubled Config, or None if
-    the error is not a recognised overflow (--auto-capacity)."""
-    if "hit_capacity" in msg and "overflow" in msg:
-        return (cfg.replace(hit_capacity=cfg.hit_capacity * 2),
-                f"hit_capacity={cfg.hit_capacity * 2}")
-    if "seed_capacity" in msg and "overflow" in msg:
-        return (cfg.replace(seed_capacity=cfg.seed_cap * 2,
-                            hit_capacity=max(cfg.hit_capacity,
-                                             cfg.seed_cap * 2)),
-                f"seed_capacity={cfg.seed_cap * 2}")
-    if "shard_slack" in msg:
-        return (cfg.replace(shard_slack=cfg.shard_slack * 2),
-                f"shard_slack={cfg.shard_slack * 2}")
-    if "frag capacity overflow" in msg:
-        return (cfg.replace(seed_capacity=cfg.seed_cap * 2,
-                            hit_capacity=max(cfg.hit_capacity,
-                                             cfg.seed_cap * 2)),
-                f"seed_capacity={cfg.seed_cap * 2}")
-    return None
+# capacity-overflow retry now lives in utils/capacity.py (shared with
+# bench.py and benchmarks/common.py — round-3 verdict item 7)
 
 
 def cmd_run(args: argparse.Namespace) -> int:
