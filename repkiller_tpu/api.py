@@ -56,7 +56,9 @@ class Result:
     def n_families(self) -> int:
         return int(np.unique(self.frag["group"]).shape[0]) if self.n_fragments else 0
 
-    def write_csv(self, dst) -> None:
+    def write_csv(self, dst, coords: str = "concat") -> None:
+        """coords="record" writes record-local coordinates for
+        multi-record inputs (csv_writer.write_frags_csv docstring)."""
         ys = self.x if self.self_cmp else self.y
         csv_writer.write_frags_csv(
             self.frag, dst,
@@ -64,6 +66,7 @@ class Result:
             y_name=None if self.self_cmp else (ys.names[0] if ys.names else "seqY"),
             x_len=self.x.total_length, y_len=ys.total_length,
             x_seqs=self.x, y_seqs=None if self.self_cmp else ys,
+            coords=coords,
         )
 
     def repeat_intervals(self) -> Dict[int, np.ndarray]:

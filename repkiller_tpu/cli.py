@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                     default="device")
     pr.add_argument("--mask", action="store_true",
                     help="also write <prefix>.masked.fasta")
+    pr.add_argument("--coords", choices=("concat", "record"),
+                    default="concat",
+                    help="fragment CSV coordinate space for multi-record "
+                         "inputs: concatenated (round-trip canonical) or "
+                         "record-local (per-chromosome, GECKO-consumer "
+                         "dialect)")
     pr.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace to DIR")
     pr.add_argument("--metrics-json", default=None,
@@ -192,7 +198,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     prefix = args.out_prefix
 
     def _write_all():
-        res.write_csv(prefix + ".frags.csv")
+        res.write_csv(prefix + ".frags.csv", coords=args.coords)
         res.write_family_summary(prefix + ".families.csv")
         res.write_intervals(prefix + ".repeats.bed")
         if args.mask:

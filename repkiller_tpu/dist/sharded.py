@@ -26,12 +26,14 @@ Memory note: the k-mer indexes are PHYSICALLY SHARDED by hash prefix
 (index/shards.py): device (d, s) stores only shard s's (kmer, pos) rows
 — steady-state per-device index memory drops n_shard-fold — and joins
 window d's k-mers against its local rows directly (an unowned k-mer
-searches to an empty run, so no ownership filter is needed). The build
-still sorts replicated transient arrays before slicing (index/shards.py
-docstring); the fully distributed all-to-all build over ICI/DCN is the
-remaining pod-scale step. The genome codes stay replicated: extension
-window gathers read arbitrary y positions, and 2-bit-packed codes are
-~32 MB even at human-chr1 scale.
+searches to an empty run, so no ownership filter is needed). On meshes
+with more than one device the BUILD is distributed too
+(index/shards.py build_sharded_index_dist — per-chunk extraction +
+all-to-all shuffle, SURVEY.md §3.4), so peak per-device build memory is
+O(n / n_shard), not the O(n) replicated transient of the global-sort
+build. The genome codes stay replicated: extension window gathers read
+arbitrary y positions, and 2-bit-packed codes are ~32 MB even at
+human-chr1 scale.
 """
 
 from __future__ import annotations
@@ -46,7 +48,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..index.build import build_index
-from ..index.shards import build_sharded_index, shard_capacity
+from ..index.shards import (build_sharded_index, build_sharded_index_dist,
+                            shard_capacity)
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
 from ..chain.diagonal import extend_gated
@@ -81,6 +84,20 @@ def _window_join(cx_pad, idxY_sh, idxX_occ_sh, win: int, cap_dev: int,
     return hpx, hpy, hv, total.reshape(1)
 
 
+def _build_idx(codes, cfg: Config, mesh: Mesh, n_shard: int, cap_shard: int):
+    """Physically sharded index build; the distributed all-to-all-shuffle
+    build on multi-device meshes (O(n / n_shard) per-device transient),
+    the global-sort build on one device (nothing to distribute). Returns
+    ((kS, pS, cnt), blk_over-or-None)."""
+    if mesh.devices.size > 1:
+        kS, pS, cnt, blk_over = build_sharded_index_dist(
+            codes, cfg.k, n_shard, cap_shard, mesh, DATA_AXIS, SHARD_AXIS,
+            cfg.shard_slack)
+        return (kS, pS, cnt), blk_over
+    return build_sharded_index(codes, cfg.k, n_shard, cap_shard,
+                               mesh, SHARD_AXIS), None
+
+
 def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
                         self_cmp: bool, cfg: Config, mesh: Mesh,
                         win: int, cap_dev: int, cap_shard: int):
@@ -89,16 +106,12 @@ def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
     sharded here per strand. Returns the per-shard Y counts so the host
     can detect shard-capacity overflow."""
     n_shard = mesh.shape[SHARD_AXIS]
+    blk_over = None
     if self_cmp and strand == 0:
         idxY_sh, self_mode = idxX_sh, "f"
-    elif self_cmp:
-        idxY_sh = build_sharded_index(cy_cmp, cfg.k, n_shard, cap_shard,
-                                      mesh, SHARD_AXIS)
-        self_mode = "r"
     else:
-        idxY_sh = build_sharded_index(cy_cmp, cfg.k, n_shard, cap_shard,
-                                      mesh, SHARD_AXIS)
-        self_mode = None
+        idxY_sh, blk_over = _build_idx(cy_cmp, cfg, mesh, n_shard, cap_shard)
+        self_mode = "r" if self_cmp else None
 
     dd = P((DATA_AXIS, SHARD_AXIS))
     sp = P(SHARD_AXIS)
@@ -122,7 +135,7 @@ def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
-    return frag, fvalid, totals, n_seeds, idxY_sh[2]
+    return frag, fvalid, totals, n_seeds, idxY_sh[2], blk_over
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "self_cmp", "mesh", "win",
@@ -131,24 +144,28 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
                          mesh: Mesh, win: int, cap_dev: int, cap_shard: int):
     cy_f = cx if self_cmp else cy
     n_shard = mesh.shape[SHARD_AXIS]
-    idxX_sh = build_sharded_index(cx, cfg.k, n_shard, cap_shard,
-                                  mesh, SHARD_AXIS)
+    idxX_sh, blkX = _build_idx(cx, cfg, mesh, n_shard, cap_shard)
 
     frags, valids, totals, nseeds = [], [], [], []
     shard_cnts = [idxX_sh[2]]
+    blk_overs = [blkX] if blkX is not None else []
     if "f" in cfg.strands:
-        fr, va, th, ns, sc = _one_strand_sharded(
+        fr, va, th, ns, sc, bo = _one_strand_sharded(
             cx, cx_pad, idxX_sh, cy_f, 0, self_cmp, cfg, mesh, win,
             cap_dev, cap_shard)
         frags.append(fr), valids.append(va), totals.append(th)
         nseeds.append(ns), shard_cnts.append(sc)
+        if bo is not None:
+            blk_overs.append(bo)
     if "r" in cfg.strands:
         cy_r = revcomp_device(cy_f)
-        fr, va, th, ns, sc = _one_strand_sharded(
+        fr, va, th, ns, sc, bo = _one_strand_sharded(
             cx, cx_pad, idxX_sh, cy_r, 1, self_cmp, cfg, mesh, win,
             cap_dev, cap_shard)
         frags.append(fr), valids.append(va), totals.append(th)
         nseeds.append(ns), shard_cnts.append(sc)
+        if bo is not None:
+            blk_overs.append(bo)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -165,7 +182,12 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     totals = jax.lax.with_sharding_constraint(jnp.stack(totals), rep)
     nseeds = jax.lax.with_sharding_constraint(jnp.stack(nseeds), rep)
     shard_cnts = jax.lax.with_sharding_constraint(jnp.stack(shard_cnts), rep)
-    return out, n_frags, totals, nseeds, shard_cnts
+    # [max block count seen, cap_blk] over the distributed builds' shuffle
+    # blocks (empty on 1-device meshes where the global-sort build runs)
+    blk_over = (jnp.stack(blk_overs) if blk_overs
+                else jnp.zeros((1, 2), jnp.int32))
+    blk_over = jax.lax.with_sharding_constraint(blk_over, rep)
+    return out, n_frags, totals, nseeds, shard_cnts, blk_over
 
 
 def compare_sharded(
@@ -217,7 +239,7 @@ def compare_sharded(
         return jax.make_array_from_callback(arr.shape, sh,
                                             lambda idx: arr[idx])
 
-    out, n_frags, totals, nseeds, shard_cnts = _compare_sharded_jit(
+    out, n_frags, totals, nseeds, shard_cnts, blk_over = _compare_sharded_jit(
         _global(cx), _global(cx_pad),
         _global(cx) if self_cmp else _global(cy),
         cfg, self_cmp, mesh, int(win), int(cap_dev), int(cap_shard))
@@ -227,6 +249,12 @@ def compare_sharded(
             f"index shard capacity {cap_shard} overflow (max shard "
             f"{int(shard_cnts.max())} entries — skewed k-mer prefixes); "
             "raise Config.shard_slack")
+    blk_over = np.asarray(blk_over)
+    if (blk_over[:, 0] > blk_over[:, 1]).any():
+        raise ValueError(
+            f"distributed index build shuffle block overflow (max block "
+            f"{int(blk_over[:, 0].max())} entries > cap {int(blk_over[0, 1])}"
+            " — chunk-local k-mer prefix skew); raise Config.shard_slack")
     totals = np.asarray(totals)
     if (totals > cap_dev).any():
         raise ValueError(

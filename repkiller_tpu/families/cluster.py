@@ -28,9 +28,62 @@ from ..oracle import pipeline as orc
 
 EDGE_CHUNK = 1 << 22   # edges materialised at once (~64 MB of working set)
 
+# Edge-count threshold above which expansion + label propagation run ON
+# DEVICE (families/device.py): host np.repeat expansion + np.minimum.at
+# propagation cost ~12 s at 100k fragments / 3.3M edges (measured this
+# host) where the device does ~10 capacity passes at ~7 cycles/element.
+# TPU backend only — XLA CPU lowers scatter to a serial loop that loses
+# to numpy, so CPU runs keep the streamed host path (tests force the
+# device path with device_min_edges=0). Capped at DEVICE_EDGE_CAP
+# materialised edges (HBM bound); denser pileups stream through the
+# host path with bounded memory as before.
+DEVICE_MIN_EDGES = 1 << 18
+DEVICE_EDGE_CAP = 1 << 25
+
+
+def _device_cluster_enabled() -> bool:
+    """TPU backend required, plus the REPKILLER_DEVICE_CLUSTER=1 opt-in
+    until the on-chip win is recorded (BASELINE.md round-4 rows) — XLA
+    CPU lowers scatter to a serial loop that loses badly to numpy, so
+    the CPU backend never takes this path by default."""
+    import os
+    if os.environ.get("REPKILLER_DEVICE_CLUSTER", "0") != "1":
+        return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def _edge_ranges(frag: Dict[str, np.ndarray], cfg: Config, self_cmp: bool):
+    """Sorted interval table + per-interval neighbor ranges (shared by the
+    host-streamed and device paths). Returns (fidx, counts, offs, lo,
+    lens, pct, total) in the (space, start, end, fidx) lex order."""
+    space, start, end, fidx = orc._intervals_of(frag, self_cmp)
+    order = np.lexsort((fidx, end, start, space))
+    space, start, end, fidx = (space[order], start[order], end[order],
+                               fidx[order])
+    m = space.shape[0]
+
+    # neighbor ranges: i links to j in (i, hi_i): same space and
+    # start_j <= end_i + proximity. `start` is only sorted WITHIN a
+    # space, so bisect on the composite (space, start) key.
+    big = np.int64(max(int(end.max()) + cfg.proximity, int(start.max())) + 2)
+    key = space.astype(np.int64) * big + start
+    q = space.astype(np.int64) * big + np.minimum(
+        end + np.int64(cfg.proximity), big - 1)
+    reach = np.searchsorted(key, q, side="right")
+    lo = np.arange(m, dtype=np.int64) + 1
+    counts = np.maximum(reach - lo, 0)
+    csum = np.cumsum(counts)
+    total = int(csum[-1]) if m else 0
+    offs = csum - counts
+    lens = frag["length"].astype(np.int64)
+    pct = np.int64(round(cfg.len_ratio * 100))
+    return fidx, counts, offs, lo, lens, pct, total, csum
+
 
 def cluster_families(frag: Dict[str, np.ndarray], cfg: Config,
-                     self_cmp: bool, edge_chunk: int = EDGE_CHUNK
+                     self_cmp: bool, edge_chunk: int = EDGE_CHUNK,
+                     device_min_edges: int = DEVICE_MIN_EDGES
                      ) -> np.ndarray:
     """Family id per fragment = smallest member index (canonical order).
 
@@ -49,28 +102,16 @@ def cluster_families(frag: Dict[str, np.ndarray], cfg: Config,
     n = frag["xStart"].shape[0]
     if n == 0:
         return np.zeros(0, np.int32)
-    space, start, end, fidx = orc._intervals_of(frag, self_cmp)
-    order = np.lexsort((fidx, end, start, space))
-    space, start, end, fidx = (space[order], start[order], end[order],
-                               fidx[order])
-    m = space.shape[0]
-    lens = frag["length"].astype(np.int64)
+    fidx, counts, offs, lo, lens, pct, total, csum = _edge_ranges(
+        frag, cfg, self_cmp)
+    m = fidx.shape[0]
 
-    # neighbor ranges: i links to j in (i, hi_i): same space and
-    # start_j <= end_i + proximity. `start` is only sorted WITHIN a
-    # space, so bisect on the composite (space, start) key.
-    big = np.int64(max(int(end.max()) + cfg.proximity, int(start.max())) + 2)
-    key = space.astype(np.int64) * big + start
-    q = space.astype(np.int64) * big + np.minimum(
-        end + np.int64(cfg.proximity), big - 1)
-    reach = np.searchsorted(key, q, side="right")
-    lo = np.arange(m, dtype=np.int64) + 1
-    counts = np.maximum(reach - lo, 0)
-
-    csum = np.cumsum(counts)
-    total = int(csum[-1]) if m else 0
-    offs = csum - counts
-    pct = np.int64(round(cfg.len_ratio * 100))
+    if (device_min_edges <= total <= DEVICE_EDGE_CAP
+            and int(lens.max(initial=0)) < (1 << 31) // 100
+            and (device_min_edges == 0 or _device_cluster_enabled())):
+        from .device import cluster_families_jit
+        return cluster_families_jit(n, fidx, counts, offs, lo, lens, pct,
+                                    total)
 
     # source-interval chunk boundaries carrying ~edge_chunk edges each
     # (one hub interval with more neighbors than edge_chunk makes its

@@ -77,3 +77,101 @@ def test_shard_overflow_raises():
     cfg = Config(k=K, strands="f", hit_capacity=1 << 12, max_occ=1 << 30)
     with pytest.raises(ValueError, match="shard_slack"):
         compare_sharded(codes, None, cfg, make_mesh(2, 2))
+
+
+class TestDistributedBuild:
+    """build_sharded_index_dist (SURVEY.md §3.4 all-to-all shuffle build,
+    round-3 verdict item 4): bit-identical to the global-sort build on
+    every mesh shape, and the compiled program's per-device transient
+    drops with n_shard (live-array/compiled-memory accounting)."""
+
+    @pytest.mark.parametrize("shape", [(1, 2), (2, 2), (1, 4), (4, 2), (2, 4)])
+    def test_bit_identical_to_global_build(self, shape):
+        from repkiller_tpu.index.shards import build_sharded_index_dist
+        n_data, n_shard = shape
+        if jax.device_count() < n_data * n_shard:
+            pytest.skip("needs more virtual devices")
+        mesh = make_mesh(n_data, n_shard,
+                         devices=jax.devices()[: n_data * n_shard])
+        # multi-record-style genome with Ns and planted repeats
+        g = synth.plant(6000, [(150, 3, 0.03, 1), (80, 4, 0.0, 0)], seed=11)
+        codes = np.asarray(g.codes).copy()
+        codes[777:790] = 4                       # N block -> invalid k-mers
+        n_pos = codes.shape[0] - K + 1
+        cap = shard_capacity(n_pos, n_shard, 1.5)
+
+        @jax.jit
+        def build_ref(c):
+            return build_sharded_index(c, K, n_shard, cap, mesh, "shard")
+
+        @jax.jit
+        def build_dist(c):
+            return build_sharded_index_dist(c, K, n_shard, cap, mesh,
+                                            "data", "shard", 1.5)
+
+        kR, pR, cR = map(np.asarray, build_ref(jnp.asarray(codes)))
+        kD, pD, cD, blk = map(np.asarray, build_dist(jnp.asarray(codes)))
+        assert blk[0] <= blk[1], "shuffle block overflow in test workload"
+        assert np.array_equal(cR, cD)
+        assert np.array_equal(kR, kD)
+        assert np.array_equal(pR, pD)
+
+    def test_all_T_k16_vs_pad_disambiguation(self):
+        """Valid all-T k-mers share the SENTINEL bit pattern; the shuffle
+        pads must still sort strictly after them (pos=MAXP trick)."""
+        from repkiller_tpu.index.shards import build_sharded_index_dist
+        if jax.device_count() < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+        k = 16
+        codes = np.full(200, 3, np.uint8)        # poly-T: all k-mers 0xFFFFFFFF
+        n_pos = codes.shape[0] - k + 1
+        cap = shard_capacity(n_pos, 2, 4.0)
+
+        @jax.jit
+        def build_dist(c):
+            return build_sharded_index_dist(c, k, 2, cap, mesh,
+                                            "data", "shard", 4.0)
+
+        kD, pD, cD, blk = map(np.asarray, build_dist(jnp.asarray(codes)))
+        assert blk[0] <= blk[1]
+        assert cD.sum() == n_pos                 # every all-T k-mer kept
+        s = 1                                    # 0xFF... prefix -> last shard
+        assert np.array_equal(np.sort(pD[s, : cD[s]]),
+                              np.arange(n_pos, dtype=np.int32))
+
+    def test_per_device_transient_drops_with_shards(self):
+        """Compiled memory accounting: the distributed build's per-device
+        temp allocation at 8 shards is a small fraction of the global-sort
+        build's O(n) transient (the round-3 verdict's acceptance test)."""
+        from repkiller_tpu.index.shards import build_sharded_index_dist
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(1, 8, devices=jax.devices()[:8])
+        L = 1 << 18
+        rng = np.random.default_rng(3)
+        codes = rng.integers(0, 4, L, np.uint8)
+        n_pos = L - K + 1
+        cap = shard_capacity(n_pos, 8, 1.5)
+        arg = jax.ShapeDtypeStruct((L,), jnp.uint8)
+
+        def build_ref(c):
+            return build_sharded_index(c, K, 8, cap, mesh, "shard")
+
+        def build_dist(c):
+            return build_sharded_index_dist(c, K, 8, cap, mesh,
+                                            "data", "shard", 1.5)
+
+        mem = {}
+        for name, fn in (("ref", build_ref), ("dist", build_dist)):
+            try:
+                ana = jax.jit(fn).lower(arg).compile().memory_analysis()
+                mem[name] = int(ana.temp_size_in_bytes)
+            except (AttributeError, NotImplementedError, TypeError):
+                pytest.skip("backend exposes no memory analysis")
+        if min(mem.values()) == 0:
+            pytest.skip("backend reports zero temp size")
+        # global-sort build holds >= 3 n-sized operands; distributed holds
+        # chunk- and shard-sized pieces. Require a >= 2x drop (the
+        # asymptotic factor is ~n_shard; CPU fusion noise eats some of it)
+        assert mem["dist"] * 2 <= mem["ref"], mem

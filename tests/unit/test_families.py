@@ -68,3 +68,41 @@ def test_chunked_edges_invariant():
     for chunk in (1, 7, 64, 1 << 20):
         got = cluster_families(frag, cfg, True, edge_chunk=chunk)
         assert np.array_equal(got, want), chunk
+
+
+@pytest.mark.parametrize("seed,n,self_cmp", [
+    (7, 300, True), (8, 800, False), (9, 0, True),
+])
+def test_device_path_matches_oracle(seed, n, self_cmp):
+    """families/device.py propagation (forced via device_min_edges=0) ==
+    oracle union-find, including the ratio filter and empty inputs."""
+    frag = _random_frags(n, seed)
+    for cfg in (Config(), Config(proximity=100, len_ratio=0.0),
+                Config(proximity=5, len_ratio=0.9)):
+        want = orc.cluster_families(frag, cfg, self_cmp)
+        got = cluster_families(frag, cfg, self_cmp, device_min_edges=0)
+        assert np.array_equal(got, want)
+
+
+def test_device_path_dense_pileup_matches_host_stream():
+    """Device propagation == streamed host path on a pileup whose edge
+    count crosses the block size (chain components + ratio splits)."""
+    rng = np.random.default_rng(12)
+    n = 600
+    xs = np.sort(rng.integers(0, 3000, n)).astype(np.int32)
+    ln = np.where(np.arange(n) % 3 == 0, 80, 400).astype(np.int32)
+    frag = {
+        "xStart": xs, "yStart": xs + 7,
+        "xEnd": (xs + ln - 1).astype(np.int32),
+        "yEnd": (xs + 6 + ln).astype(np.int32),
+        "strand": np.zeros(n, np.int32),
+        "length": ln,
+        "score": np.full(n, 100, np.int32),
+        "idents": np.full(n, 90, np.int32),
+    }
+    frag = orc.canonical_sort(frag)
+    cfg = Config(proximity=50)
+    host = cluster_families(frag, cfg, True, device_min_edges=1 << 62)
+    dev = cluster_families(frag, cfg, True, device_min_edges=0)
+    assert np.array_equal(host, dev)
+    assert np.array_equal(dev, orc.cluster_families(frag, cfg, True))
