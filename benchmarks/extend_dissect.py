@@ -128,6 +128,27 @@ def main() -> int:
     for f in a:
         assert np.array_equal(np.asarray(a[f]), np.asarray(b[f])), f
     print("# cascade == two-phase: bit-identical")
+
+    # --- fine probes: _direction alone at several row caps. Fitting
+    # t(cap) = a*blocks + b*block_rows separates per-block overhead from
+    # per-row cost; cap=192 alone is the phase-1 share of the two-phase
+    # number above (the rest = compaction wrapper + full-depth re-run).
+    from repkiller_tpu.extend.banded_pallas import _direction
+    w2m2 = pack_2bit_device(codes)
+
+    def probe(cap):
+        @jax.jit
+        def f(spx, spy, sv, codes, n_seeds):
+            return _direction(
+                spx, spy, sv, codes, codes, cfg.k, 1, cfg.match,
+                cfg.mismatch, cfg.x_drop, cap, cfg.band, cfg.gap_open,
+                cfg.gap_extend, 8192, False, n_live=n_seeds,
+                packed_x=w2m2, packed_y=w2m2, jcap_override=cap + cfg.band)
+        return f
+
+    for cap in (32, 64, 96, 192):
+        timeit(f"_direction fwd cap={cap}", probe(cap),
+               spx, spy, sv, codes, n_seeds)
     return 0
 
 

@@ -150,6 +150,13 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
     def kernel(sx_ref, sy_ref, out_ref):
         o_col = jax.lax.broadcasted_iota(jnp.int32, (WP, SB), 0)
         in_band = o_col < W
+        # loop-invariant per-offset vectors, computed once per block (the
+        # row loop's closure captures them as constants — Mosaic hoists)
+        oext = o_col * ext                       # F-scan bias / unbias
+        if PACKF:
+            opack = oext - (_L - 1)              # (ME + opack) << _shw
+            oor = o_col << _sho
+        fsub = open_ + oext                      # F = wmax_ex - fsub
 
         # ---- row 0 ----
         # H(0, j=o-b): 0 at center; -(open + j*ext) right of center while
@@ -211,9 +218,10 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                 # folds eq on freshly widened i8 operands back to an i8
                 # cmpi eq the v5e target rejects ("Target does not
                 # support this comparison"); xor + an ordered compare
-                # lowers cleanly and is bit-exact for 0..255
-                is_match = ((ychar ^ xchar) < 1) & (ychar < 4) & (xchar < 4) \
-                    & yok & xok
+                # lowers cleanly and is bit-exact for 0..255.
+                # x == y < 4 already implies xchar < 4, ychar < 5 and
+                # xchar < 5, so the ymask term is the only other factor.
+                is_match = ((ychar ^ xchar) < 1) & (ychar < 4) & ymask
                 sub = jnp.where(is_match, m32, mm32)
 
                 Hu = _up1(H, NEG_INF)
@@ -234,10 +242,8 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                 IME = jnp.where(M >= Enew, IM, IEnew)
 
                 if PACKF:
-                    pw = jnp.where(
-                        ME > NEG_INF,
-                        ((ME + o_col * ext - (_L - 1)) << _shw)
-                        | (o_col << _sho) | IME, 0)
+                    pw = jnp.where(ME > NEG_INF,
+                                   ((ME + opack) << _shw) | oor | IME, 0)
                     d = 1
                     while d < WP:
                         pw = jnp.maximum(pw, _down(pw, d, 0))
@@ -246,14 +252,14 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
                     wmax_ex = (pex >> _shw) + (_L - 1)
                     wid_ex = (pex & ((1 << _bid) - 1))
                     F = jnp.where((pex > 0) & yok,
-                                  wmax_ex - open_ - o_col * ext, NEG_INF)
+                                  wmax_ex - fsub, NEG_INF)
                 else:
-                    w = jnp.where(ME > NEG_INF, ME + o_col * ext, NEG_INF)
+                    w = jnp.where(ME > NEG_INF, ME + oext, NEG_INF)
                     wmax, wid = _scan_max_plus(w, IME, WP)
                     wmax_ex = _down(wmax, 1, NEG_INF)
                     wid_ex = _down(wid, 1, 0)
                     F = jnp.where((wmax_ex > NEG_INF) & yok,
-                                  wmax_ex - open_ - o_col * ext, NEG_INF)
+                                  wmax_ex - fsub, NEG_INF)
 
                 Hn = jnp.maximum(ME, F)
                 IHn = jnp.where(ME >= F, IME, wid_ex)
@@ -536,17 +542,21 @@ def _compact_rerun(px, py, need, cx, cy, base_off, step, common, cap_rows,
     """Re-run one direction at row cap ``cap_rows`` for the ``need``
     seeds, front-compacted via :func:`_partition_live`; results come
     back in slot order (slots outside ``need`` carry garbage — callers
-    select with ``jnp.where(need, ...)``). Gather count is what this
-    optimises: 3 in-permutation gathers, then 2 packed result gathers
-    (or 4 unpacked) + optionally the alive row."""
+    select with ``jnp.where(need, ...)``). Gather OP count is what this
+    optimises (TPU gathers cost ~7 cycles per gathered ROW regardless of
+    width — docs/PERF_NOTES.md): the 3 in-permutation gathers ride ONE
+    (n, 3) row gather, the packed results ONE (n, 2) row gather (4
+    unpacked gathers otherwise) + optionally the alive row."""
     order, dest, n2 = _partition_live(need)
+    gin = jnp.stack([px, py, need.astype(jnp.int32)], axis=1)[order]
     ei, ej, g, idn, alive = _direction(
-        px[order], py[order], need[order], cx, cy, base_off, step,
+        gin[:, 0], gin[:, 1], gin[:, 2] != 0, cx, cy, base_off, step,
         *common, cap_rows, *tail, n_live=n2, packed_x=px2, packed_y=py2,
         jcap_override=jcap)
     if packer is not None:
         p1, p2 = packer[0](ei, ej, g, idn)
-        ei, ej, g, idn = packer[1](p1[dest], p2[dest])
+        pg = jnp.stack([p1, p2], axis=1)[dest]
+        ei, ej, g, idn = packer[1](pg[:, 0], pg[:, 1])
     else:
         ei, ej, g, idn = ei[dest], ej[dest], g[dest], idn[dest]
     return ei, ej, g, idn, (alive[dest] if want_alive else None)
@@ -649,9 +659,9 @@ def extend_banded_pallas_gated(
             # neither the cap-``phase1_rows`` re-run nor full depth. On a
             # near-identical pair (config #3) this drops the backbone
             # non-anchors after ``pre`` rows instead of ``phase1_rows``.
-            a_sA = (px - lei1)[anc_slot]
-            a_eA = (px + km1 + rei1)[anc_slot]
-            covA = seed_valid & ~anchor & (a_sA <= px) & (a_eA >= px + km1)
+            exA = jnp.stack([px - lei1, px + km1 + rei1], axis=1)[anc_slot]
+            covA = (seed_valid & ~anchor & (exA[:, 0] <= px)
+                    & (exA[:, 1] >= px + km1))
             nB_r = r_aliveA & ~covA
             nB_l = l_aliveA & ~covA
 
@@ -678,9 +688,9 @@ def extend_banded_pallas_gated(
             l_alive = nB_l & (l_alB == 1)
         else:
             r_alive, l_alive = r_aliveA, l_aliveA
-        a_s1 = (px - lei1)[anc_slot]
-        a_e1 = (px + km1 + rei1)[anc_slot]
-        covered1 = seed_valid & ~anchor & (a_s1 <= px) & (a_e1 >= px + km1)
+        ex1 = jnp.stack([px - lei1, px + km1 + rei1], axis=1)[anc_slot]
+        covered1 = (seed_valid & ~anchor & (ex1[:, 0] <= px)
+                    & (ex1[:, 1] >= px + km1))
         maybe = seed_valid & ~covered1
         need_r = maybe & r_alive
         need_l = maybe & l_alive
@@ -706,9 +716,9 @@ def extend_banded_pallas_gated(
             n_live=n_live, packed_x=px2, packed_y=py2)
 
     # exact oracle coverage against the anchors' final extents
-    a_s = (px - lei)[anc_slot]
-    a_e = (px + km1 + rei)[anc_slot]
-    covered = seed_valid & ~anchor & (a_s <= px) & (a_e >= px + km1)
+    exF = jnp.stack([px - lei, px + km1 + rei], axis=1)[anc_slot]
+    covered = (seed_valid & ~anchor & (exF[:, 0] <= px)
+               & (exF[:, 1] >= px + km1))
     valid_out = seed_valid & ~covered
 
     seed_score = jnp.int32(k * match)
