@@ -74,6 +74,12 @@ def main() -> int:
         build_canonical_index)
     t_index = slope("canonical index", j_index, codes, cfg.k)
 
+    j_index_sb = functools.partial(
+        jax.jit, static_argnames=("k", "scan_broadcast"))(
+        build_canonical_index)
+    slope("canonical index (scan_broadcast)", j_index_sb, codes, cfg.k,
+          scan_broadcast=True)
+
     ci = j_index(codes, cfg.k)
     jax.block_until_ready(ci)
     j_join = functools.partial(jax.jit,

@@ -74,8 +74,16 @@ class CanonIndex(NamedTuple):
     n_valid: jnp.ndarray     # int32     valid prefix length (A order)
 
 
-def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
-    """Canonical self-comparison index (see module docstring)."""
+def build_canonical_index(codes: jnp.ndarray, k: int,
+                          scan_broadcast: bool = False) -> CanonIndex:
+    """Canonical self-comparison index (see module docstring).
+
+    scan_broadcast=True replaces the two n-sized gathers
+    (``ones_cum[loA]``, ``ones_cum[hiA-1]``) with masked cummax /
+    reverse-cummin segment broadcasts — bit-identical
+    (tests/unit/test_canonical.py); which formulation is cheaper is a
+    chip measurement (benchmarks/op_costs.py: gather vs associative
+    scan at 4M rows), wired here so the flip is one default change."""
     km, pos, valid = extract_kmers(codes, k)
     rc = revcomp_kmer(km, k)
     canon = jnp.minimum(km, rc)
@@ -104,13 +112,25 @@ def build_canonical_index(codes: jnp.ndarray, k: int) -> CanonIndex:
     # segmented flag cumsums -> per-entry subrun ranks and the flag-0/1
     # boundary, all in one pass over the A order
     ones_cum = jnp.cumsum(fA)                        # inclusive count of flag-1
-    run_start_cum = ones_cum[loA] - fA[loA]          # exclusive at run start
-    n1_before = (ones_cum - fA) - run_start_cum      # flag-1 entries before me
+    excl = ones_cum - fA                             # exclusive count at me
+    if scan_broadcast:
+        first = jnp.concatenate([jnp.ones(1, bool), cA[1:] != cA[:-1]])
+        last = jnp.concatenate([cA[1:] != cA[:-1], jnp.ones(1, bool)])
+        # run-start exclusive count: boundary values are non-decreasing
+        # (counts), so a masked cummax broadcasts each run's start value
+        run_start_cum = jax.lax.cummax(jnp.where(first, excl, 0))
+        # run-end inclusive count: backward masked cummin (ones_cum is
+        # non-decreasing, so the min over later `last` rows is MY run's)
+        n1_end = jax.lax.cummin(
+            jnp.where(last, ones_cum, jnp.int32(2147483647))[::-1])[::-1]
+    else:
+        run_start_cum = ones_cum[loA] - fA[loA]      # exclusive at run start
+        n1_end = ones_cum[jnp.maximum(hiA - 1, 0)]
+    n1_before = excl - run_start_cum                 # flag-1 entries before me
     n0_before = (idx - loA) - n1_before
     own_rank = jnp.where(fA == 1, n1_before, n0_before)
     alt_before = jnp.where(fA == 1, n0_before, n1_before)
-    n1_run = (ones_cum[jnp.maximum(hiA - 1, 0)] - run_start_cum
-              ).astype(jnp.int32)
+    n1_run = (n1_end - run_start_cum).astype(jnp.int32)
     midA = hiA - n1_run                              # B-slot subrun boundary
 
     # view-B positions: my B slot = my subrun's start + my own rank (a

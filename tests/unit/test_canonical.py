@@ -105,3 +105,32 @@ def test_self_join_pure_palindrome_run():
     assert _hit_set(hr) == set(zip(rx.tolist(), ry.tolist()))
     assert int(hf[3]) == 1                            # one forward pair
     assert int(hr[3]) == 3                            # 2 self-rc + 1 cross
+
+
+def test_scan_broadcast_variant_bit_identical():
+    """build_canonical_index(scan_broadcast=True) == the gather form on
+    repeat-rich, palindrome-bearing and N-containing inputs."""
+    import jax
+    import numpy as np
+    from repkiller_tpu.index.canonical import build_canonical_index
+    from repkiller_tpu.utils import synth
+
+    rng = np.random.default_rng(17)
+    cases = []
+    g = synth.plant(4000, [(120, 4, 0.02, 1), (60, 3, 0.0, 1)], seed=3)
+    c = np.asarray(g.codes).copy()
+    c[500:510] = 4
+    cases.append(c)
+    cases.append(rng.integers(0, 4, 997, np.uint8))
+    cases.append(np.zeros(200, np.uint8))            # poly-A (one huge run)
+    pal = np.array([0, 1, 2, 3] * 60, np.uint8)      # palindromic k-mers
+    cases.append(pal)
+    for k in (12, 16):
+        for codes in cases:
+            a = jax.jit(build_canonical_index,
+                        static_argnums=(1, 2))(codes, k, False)
+            b = jax.jit(build_canonical_index,
+                        static_argnums=(1, 2))(codes, k, True)
+            for f in a._fields:
+                assert np.array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f))), (k, f)
