@@ -107,20 +107,47 @@ def main() -> int:
         raise SystemExit("capacity still overflowing after 5 doublings")
     assert int(n_frags) > 0, "bench produced no fragments — not a valid run"
 
+    # MEASUREMENT RULE (docs/PERF_NOTES.md round 4): the axon relay acks
+    # repeated identical dispatches without necessarily executing them,
+    # so every timed run gets a DISTINCT input (device-side roll) and
+    # ends with a host fetch of a scalar that data-depends on the whole
+    # pipeline. Headline = the fused single-program pipeline (what a
+    # production driver runs steady-state); staged walls below are the
+    # per-stage diagnostic.
+    roll = jax.jit(lambda c, r: jnp.roll(c, r))
+    fused = jax.jit(lambda c: device.compare_fn(c, c, cfg, True))
+    c1 = roll(codes, jnp.int32(1))
+    t0 = time.perf_counter()
+    out, n_frags, _, _ = fused(c1)
+    probe = int(n_frags) + int(out["xStart"][0])
+    print(f"# fused compile+1st: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
     times = []
-    stage = {}
-    for _ in range(args.runs):
+    for r in range(args.runs):
+        c = roll(codes, jnp.int32(2 + r))
         t0 = time.perf_counter()
-        out, n_frags, totals, nseeds = device.compare_staged(codes, codes, cfg, True,
-                                                     timings=stage)
-        jax.block_until_ready((out, n_frags, totals))
+        out, n_frags, _, _ = fused(c)
+        probe = int(n_frags) + int(out["xStart"][0])   # forces execution
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
     gbps = args.size / med / 1e9
-    print(f"# times={['%.3f' % t for t in times]} median={med:.3f}s",
+    print(f"# fused times={['%.3f' % t for t in times]} median={med:.3f}s",
           file=sys.stderr)
-    print("# stage seconds (all runs): " + json.dumps(
-        {k: round(v, 3) for k, v in sorted(stage.items())}), file=sys.stderr)
+
+    stage = {}
+    stage_times = []
+    for r in range(2):
+        c = roll(codes, jnp.int32(100 + r))
+        t0 = time.perf_counter()
+        out, n_frags, totals, nseeds = device.compare_staged(
+            c, c, cfg, True, timings=stage)
+        probe = int(n_frags)
+        stage_times.append(time.perf_counter() - t0)
+    print(f"# staged walls={['%.3f' % t for t in stage_times]} "
+          "(per-stage seconds, 2 runs): " + json.dumps(
+              {k: round(v, 3) for k, v in sorted(stage.items())}),
+          file=sys.stderr)
 
     vs = gbps / BASELINE_GBPS if BASELINE_GBPS else 1.0
     print(json.dumps({

@@ -149,6 +149,61 @@ def main() -> int:
     for cap in (32, 64, 96, 192):
         timeit(f"_direction fwd cap={cap}", probe(cap),
                spx, spy, sv, codes, n_seeds)
+
+    # seed_chunk sweep at the phase-1 shape: fewer chunk-loop iterations
+    # batch the window gathers better (the 43 ms gather share above)
+    def probe_chunk(chunk):
+        @jax.jit
+        def f(spx, spy, sv, codes, n_seeds):
+            return _direction(
+                spx, spy, sv, codes, codes, cfg.k, 1, cfg.match,
+                cfg.mismatch, cfg.x_drop, 192, cfg.band, cfg.gap_open,
+                cfg.gap_extend, chunk, False, n_live=n_seeds,
+                packed_x=w2m2, packed_y=w2m2, jcap_override=192 + cfg.band)
+        return f
+
+    for chunk in (16384, 32768):
+        timeit(f"_direction fwd cap=192 chunk={chunk}", probe_chunk(chunk),
+               spx, spy, sv, codes, n_seeds)
+
+    # phase-2 in isolation: exact gated-path compacted full-depth re-run
+    # on the seeds still alive at the row cap
+    from repkiller_tpu.extend.banded_pallas import (_compact_rerun,
+                                                    _result_packer)
+    common = (cfg.match, cfg.mismatch, cfg.x_drop)
+    tail = (cfg.band, cfg.gap_open, cfg.gap_extend, 8192, False)
+    packer = _result_packer(cfg.max_extend, cfg.match)
+
+    @jax.jit
+    def alive_mask(spx, spy, sv, codes, n_seeds):
+        _, _, _, _, alive = _direction(
+            spx, spy, sv, codes, codes, cfg.k, 1, *common, 192, *tail,
+            n_live=n_seeds, packed_x=w2m2, packed_y=w2m2,
+            jcap_override=192 + cfg.band)
+        return sv & (alive == 1)
+
+    need = alive_mask(spx, spy, sv, codes, n_seeds)
+    jax.block_until_ready(need)
+    import numpy as _np
+    print(f"# phase-1 survivors: {int(_np.asarray(need).sum())}",
+          file=sys.stderr)
+
+    @jax.jit
+    def phase2_only(spx, spy, need, codes):
+        return _compact_rerun(spx, spy, need, codes, codes, cfg.k, 1,
+                              common, cfg.max_extend, tail, w2m2, w2m2,
+                              packer)[:4]
+
+    timeit("phase-2 only (compact+full depth)", phase2_only,
+           spx, spy, need, codes)
+
+    from repkiller_tpu.utils.scan import partition_live
+
+    @jax.jit
+    def partition_only(need):
+        return partition_live(need)
+
+    timeit("partition_live only", partition_only, need)
     return 0
 
 

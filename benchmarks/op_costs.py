@@ -43,49 +43,84 @@ def main() -> int:
     flags = jax.device_put(jnp.asarray(
         (rng.random(n) < 0.1).astype(np.int32)))
 
-    # warm the relay into the dirty regime
-    jax.block_until_ready(jax.jit(lambda k: jnp.sort(k))(keys))
+    # Warm the relay into the dirty regime: one genuinely heavy program
+    # (a big matmul power loop), repeated until its wall time becomes
+    # non-trivial — a single small sort is absorbed by the relay's
+    # async ack and every later timing reads as ~0 (measured).
+    # MEASUREMENT RULE (hard-won): the axon relay acknowledges work it
+    # never executes — block_until_ready on a repeated identical
+    # dispatch returns in ~0 even for an 8-sort @ 8M-row program, and
+    # per-call wall times are fiction. The only dependable clock is a
+    # HOST FETCH of a result that data-depends on everything measured.
+    # So each op runs K times inside one program (fori_loop, +i
+    # perturbation defeats CSE), the program is chained across reps
+    # (output feeds input, rep index as an argument defeats result
+    # caching), and one element of the final carry is fetched. Slope
+    # over two K depths cancels dispatch + fetch + chain overheads.
+    K_LO, K_HI = 4, 24
 
-    def slope(name, fn, *a):
-        f = jax.jit(fn)
-        jax.block_until_ready(f(*a))
-        n_lo, n_hi = max(2, args.iters // 4), args.iters
-        t0 = time.perf_counter()
-        for _ in range(n_lo):
-            out = f(*a)
-        jax.block_until_ready(out)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(n_hi):
-            out = f(*a)
-        jax.block_until_ready(out)
-        t_hi = time.perf_counter() - t0
-        ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    def slope(name, mk, *a):
+        def prog(iters):
+            def f(x, r, *rest):
+                def body(i, x):
+                    return mk(x, i + r, *rest)
+                return jax.lax.fori_loop(0, iters, body, x)
+            return jax.jit(f)
+        reps = 4
+
+        def chain(f, iters):
+            x = a[0]
+            t0 = time.perf_counter()
+            for r in range(reps):
+                x = f(x, jnp.int32(r * iters), *a[1:])
+            np.asarray(x[:1] if x.ndim == 1 else x[:1, :1])  # force chain
+            return time.perf_counter() - t0
+
+        f_lo, f_hi = prog(K_LO), prog(K_HI)
+        chain(f_lo, K_LO)                        # compile + warm
+        chain(f_hi, K_HI)
+        t_lo = chain(f_lo, K_LO)
+        t_hi = chain(f_hi, K_HI)
+        ms = (t_hi - t_lo) / ((K_HI - K_LO) * reps) * 1e3
         print(json.dumps({"op": name, "ms": round(ms, 3),
                           "cyc_per_elem": round(ms * 1e-3 * 940e6 / n, 2)}))
         return ms
 
-    slope("sort 1op", lambda k: jax.lax.sort((k,), num_keys=1)[0], keys)
-    slope("sort 2op", lambda k, v: jax.lax.sort((k, v), num_keys=2)[0],
-          keys, vals)
+    # mk(x, i, *rest) must depend on x so iterations chain
+    slope("sort 1key(u32)",
+          lambda x, i: jax.lax.sort((x ^ i.astype(jnp.uint32),),
+                                    num_keys=1)[0], keys)
+    slope("sort 2op",
+          lambda x, i, v: jax.lax.sort((x ^ i.astype(jnp.uint32), v),
+                                       num_keys=2)[0], keys, vals)
     slope("sort 3op",
-          lambda k, v, f: jax.lax.sort((k, v, f), num_keys=3)[0],
+          lambda x, i, v, f: jax.lax.sort(
+              (x ^ i.astype(jnp.uint32), v, f), num_keys=3)[0],
           keys, vals, flags)
-    slope("cumsum", lambda f: jnp.cumsum(f), flags)
-    slope("cummax", lambda v: jax.lax.cummax(v), vals)
-    slope("reverse", lambda v: v[::-1], vals)
-    slope("gather n<-n", lambda v, p: v[p], vals, perm)
+    slope("cumsum", lambda x, i: jnp.cumsum(x + i), flags)
+    slope("cummax", lambda x, i: jax.lax.cummax(x + i), vals)
+    slope("reverse+add", lambda x, i: (x + i)[::-1], vals)
+    slope("gather n<-n", lambda x, i, p: x[(p + i) % n], vals, perm)
     vals8 = jax.device_put(jnp.asarray(
         np.tile(np.arange(n, dtype=np.int32)[:, None], (1, 8))))
-    slope("gather rows (n,8)<-n", lambda v8, p: v8[p], vals8, perm)
+    slope("gather rows (n,8)<-n",
+          lambda x, i, p: x[(p + i) % n], vals8, perm)
+    vals24 = jax.device_put(jnp.asarray(
+        np.tile(np.arange(n, dtype=np.int32)[:, None], (1, 24))))
+    slope("gather rows (n,24)<-n",
+          lambda x, i, p: x[(p + i) % n], vals24, perm)
     slope("scatter n->n",
-          lambda v, p: jnp.zeros(n, jnp.int32).at[p].set(v), vals, perm)
+          lambda x, i, p: jnp.zeros(n, jnp.int32).at[(p + i) % n].set(x),
+          vals, perm)
     slope("scatter-max n->n",
-          lambda v, p: jnp.zeros(n, jnp.int32).at[p].max(v), vals, perm)
-    slope("where+add (5 elementwise)",
-          lambda v, f: jnp.where(f > 0, v + 1, v - 1) + v * 2, vals, flags)
+          lambda x, i, p: jnp.zeros(n, jnp.int32).at[(p + i) % n].max(x),
+          vals, perm)
+    slope("where+add (4 elementwise)",
+          lambda x, i, f: jnp.where(f > i, x + 1, x - 1) + x * 2,
+          vals, flags)
     slope("segbcast fwd (where+cummax)",
-          lambda v, f: jax.lax.cummax(jnp.where(f > 0, v, 0)), vals, flags)
+          lambda x, i, f: jax.lax.cummax(jnp.where(f > 0, x + i, 0)),
+          vals, flags)
     return 0
 
 

@@ -75,15 +75,17 @@ class CanonIndex(NamedTuple):
 
 
 def build_canonical_index(codes: jnp.ndarray, k: int,
-                          scan_broadcast: bool = False) -> CanonIndex:
+                          scan_broadcast: bool = True) -> CanonIndex:
     """Canonical self-comparison index (see module docstring).
 
-    scan_broadcast=True replaces the two n-sized gathers
-    (``ones_cum[loA]``, ``ones_cum[hiA-1]``) with masked cummax /
-    reverse-cummin segment broadcasts — bit-identical
-    (tests/unit/test_canonical.py); which formulation is cheaper is a
-    chip measurement (benchmarks/op_costs.py: gather vs associative
-    scan at 4M rows), wired here so the flip is one default change."""
+    scan_broadcast=True (default) replaces the n-sized run-boundary
+    gathers (``ones_cum[loA]``, ``fA[loA]``, ``ones_cum[hiA-1]``) with
+    masked cummax / reverse-cummin segment broadcasts — bit-identical
+    (tests/unit/test_canonical.py) and 4.6x faster for the whole build
+    on chip (206.6 -> 44.8 ms at 4.19M entries, fetch-forced chain
+    timing 2026-08-21): benchmarks/op_costs.py measured gathers at ~8
+    cycles/element vs ~0.3 for scans, the opposite of the r1 folk model
+    that priced them equal. The gather form stays for reference."""
     km, pos, valid = extract_kmers(codes, k)
     rc = revcomp_kmer(km, k)
     canon = jnp.minimum(km, rc)
