@@ -135,11 +135,16 @@ def build_canonical_index(codes: jnp.ndarray, k: int,
     n1_run = (n1_end - run_start_cum).astype(jnp.int32)
     midA = hiA - n1_run                              # B-slot subrun boundary
 
-    # view-B positions: my B slot = my subrun's start + my own rank (a
-    # bijection within every run, including the sentinel tail, so the
-    # scatter is collision-free)
-    slotB = jnp.where(fA == 1, midA, loA) + own_rank
-    pos_b = jnp.zeros(n, jnp.int32).at[slotB].set(pA)
+    # view-B positions: flag-major order within each run = sort by
+    # (canon, flag, pos), with flag+pos packed into one int32 key (pos
+    # < 2^29 bounds the pipeline already). A second 2-operand sort beats
+    # the slot scatter this replaced on the real chip: 9.2 ms vs 28.9 ms
+    # at 4.19M rows (benchmarks/op_costs.py, fetch-forced — the round-3
+    # "scatter ~= sort" measurement was relay fiction). The sentinel
+    # tail orders identically to the scatter form: within the invalid
+    # run, flag-0 entries in pos order then flag-1 entries in pos order.
+    _, pfB = jax.lax.sort((cA, (fA << 30) | pA), num_keys=2)
+    pos_b = pfB & ((1 << 30) - 1)
 
     lo = jnp.minimum(loA, n_valid)
     hi = jnp.minimum(hiA, n_valid)

@@ -37,11 +37,19 @@ import jax.numpy as jnp
 from ..index.canonical import CanonIndex
 
 
-def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int
+def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int,
+            pos: jnp.ndarray
             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Slot t of the static-capacity output -> (source entry, partner
-    index, valid, total). Same scatter+cummax owner recovery as
-    seeds/join.py."""
+    """Slot t of the static-capacity output -> (source POSITION, partner
+    index, valid, total). Scatter+cummax owner recovery as seeds/join.py,
+    tuned to the measured op costs (benchmarks/op_costs.py, real chip):
+
+    - the block-start scatter uses ``.set`` (6.5 cyc/elem), not ``.max``
+      (9.2): nonzero-count block starts are unique slots and every
+      zero-count entry lands in the discarded spill slot, so set is
+      deterministic and identical;
+    - the three per-slot source lookups (lo, offs, pos) ride ONE (n, 3)
+      row gather instead of three element gathers (~8 cyc each)."""
     n = counts.shape[0]
     xi = jnp.arange(n, dtype=jnp.int32)
     csum = jnp.cumsum(counts)
@@ -49,11 +57,12 @@ def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int
     offs = csum - counts
     t = jnp.arange(capacity, dtype=jnp.int32)
     bidx = jnp.where(counts > 0, jnp.minimum(offs, capacity), capacity)
-    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].max(xi)
+    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].set(xi)
     src = jax.lax.cummax(owner[:capacity])
     srcc = jnp.minimum(src, n - 1)
-    y_idx = lo[srcc] + (t - offs[srcc])
-    return srcc, y_idx, t < total, total
+    packed = jnp.stack([lo, offs, pos], axis=1)[srcc]     # (capacity, 3)
+    y_idx = packed[:, 0] + (t - packed[:, 1])
+    return packed[:, 2], y_idx, t < total, total
 
 
 def join_self_canonical(
@@ -86,8 +95,8 @@ def join_self_canonical(
     keep_f = is_valid & (occ_f <= max_occ)
     f_lo = slot + 1
     cnt_f = jnp.where(keep_f, jnp.maximum(own_hi - f_lo, 0), 0)
-    src_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity)
-    hpx_f = jnp.where(valid_f, ci.pos[src_f], 0)
+    px_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity, ci.pos)
+    hpx_f = jnp.where(valid_f, px_f, 0)
     hpy_f = jnp.where(valid_f, ci.pos_b[jnp.clip(yi_f, 0, n - 1)], 0)
 
     # ---- reverse: km_p == rc(km_q), p <= q (palindrome self kept once) ----
@@ -97,8 +106,8 @@ def join_self_canonical(
     r_lo = jnp.where(ci.palin, slot, alt_lo + ci.alt_before)
     r_hi = jnp.where(ci.palin, ci.run_hi, alt_hi)
     cnt_r = jnp.where(keep_r, jnp.maximum(r_hi - r_lo, 0), 0)
-    src_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity)
-    hpx_r = jnp.where(valid_r, ci.pos[src_r], 0)
+    px_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity, ci.pos)
+    hpx_r = jnp.where(valid_r, px_r, 0)
     q = ci.pos_b[jnp.clip(yi_r, 0, n - 1)]
     hpy_r = jnp.where(valid_r, jnp.int32(y_len - k) - q, 0)
 
