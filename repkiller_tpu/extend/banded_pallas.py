@@ -200,98 +200,130 @@ def _make_kernel(E: int, W: int, WP: int, band: int,
             # rows on a dead block change nothing.
             return (i_base < E) & jnp.any(H > NEG_INF)
 
-        def body(state):
-            i_base, H, Eg, IH, IE, best, Hc, ic, idc = state
-            xb = pl.multiple_of(i_base, G)
-            xblk = sx_ref[pl.ds(xb, G), :].astype(jnp.int32)    # (G, SB)
-            yblk = sy_ref[pl.ds(xb, YB), :].astype(jnp.int32)   # (YB, SB)
+        def make_body(guarded):
+            # guarded=False drops the per-row j_idx window checks: for
+            # interior rows b < i <= jcap - b every in-band cell has
+            # 1 <= j_idx <= jcap (j_idx = i-b+o with o < W gives
+            # i-b <= j_idx <= i+b), so ymask degenerates to the static
+            # in_band and the two compares + two ands vanish. Head
+            # (i <= b) and tail (i > jcap - b) groups keep the guarded
+            # body — bit-identical by construction.
+            def body(state):
+                i_base, H, Eg, IH, IE, best, Hc, ic, idc = state
+                xb = pl.multiple_of(i_base, G)
+                xblk = sx_ref[pl.ds(xb, G), :].astype(jnp.int32)   # (G, SB)
+                yblk = sy_ref[pl.ds(xb, YB), :].astype(jnp.int32)  # (YB, SB)
 
-            for r in range(1, G + 1):                 # static unroll
-                i = i_base + r
-                j_idx = i - b + o_col
-                ymask = (j_idx >= 1) & (j_idx <= jcap) & in_band
-                ychar = yblk[r - 1:r - 1 + WP]        # ychar[o]=sy_pad[i-1+o]
-                yok = (ychar < 5) & ymask
-                xchar = xblk[r - 1:r]                                # (1, SB)
-                xok = xchar < 5
-                # (a ^ b) < 1 is a == b for non-negative codes: Mosaic
-                # folds eq on freshly widened i8 operands back to an i8
-                # cmpi eq the v5e target rejects ("Target does not
-                # support this comparison"); xor + an ordered compare
-                # lowers cleanly and is bit-exact for 0..255.
-                # x == y < 4 already implies xchar < 4, ychar < 5 and
-                # xchar < 5, so the ymask term is the only other factor.
-                is_match = ((ychar ^ xchar) < 1) & (ychar < 4) & ymask
-                sub = jnp.where(is_match, m32, mm32)
+                for r in range(1, G + 1):             # static unroll
+                    i = i_base + r
+                    ychar = yblk[r - 1:r - 1 + WP]    # ychar[o]=sy_pad[i-1+o]
+                    if guarded:
+                        j_idx = i - b + o_col
+                        ymask = (j_idx >= 1) & (j_idx <= jcap) & in_band
+                    else:
+                        ymask = in_band
+                    yok = (ychar < 5) & ymask
+                    xchar = xblk[r - 1:r]                            # (1, SB)
+                    xok = xchar < 5
+                    # (a ^ b) < 1 is a == b for non-negative codes: Mosaic
+                    # folds eq on freshly widened i8 operands back to an i8
+                    # cmpi eq the v5e target rejects ("Target does not
+                    # support this comparison"); xor + an ordered compare
+                    # lowers cleanly and is bit-exact for 0..255.
+                    # x == y < 4 already implies xchar < 4, ychar < 5 and
+                    # xchar < 5, so the ymask term is the only other factor.
+                    is_match = ((ychar ^ xchar) < 1) & (ychar < 4) & ymask
+                    sub = jnp.where(is_match, m32, mm32)
 
-                Hu = _up1(H, NEG_INF)
-                IHu = _up1(IH, 0)
-                Eu = _up1(Eg, NEG_INF)
-                IEu = _up1(IE, 0)
+                    Hu = _up1(H, NEG_INF)
+                    IHu = _up1(IH, 0)
+                    Eu = _up1(Eg, NEG_INF)
+                    IEu = _up1(IE, 0)
 
-                M = jnp.where((H > NEG_INF) & xok & yok, H + sub, NEG_INF)
-                IM = IH + is_match.astype(jnp.int32)
+                    M = jnp.where((H > NEG_INF) & xok & yok, H + sub, NEG_INF)
+                    IM = IH + is_match.astype(jnp.int32)
 
-                Ec1 = jnp.where((Hu > NEG_INF) & xok, Hu - open_ - ext,
-                                NEG_INF)
-                Ec2 = jnp.where((Eu > NEG_INF) & xok, Eu - ext, NEG_INF)
-                Enew = jnp.maximum(Ec1, Ec2)
-                IEnew = jnp.where(Ec1 >= Ec2, IHu, IEu)
+                    Ec1 = jnp.where((Hu > NEG_INF) & xok, Hu - open_ - ext,
+                                    NEG_INF)
+                    Ec2 = jnp.where((Eu > NEG_INF) & xok, Eu - ext, NEG_INF)
+                    Enew = jnp.maximum(Ec1, Ec2)
+                    IEnew = jnp.where(Ec1 >= Ec2, IHu, IEu)
 
-                ME = jnp.maximum(M, Enew)
-                IME = jnp.where(M >= Enew, IM, IEnew)
+                    ME = jnp.maximum(M, Enew)
+                    IME = jnp.where(M >= Enew, IM, IEnew)
 
-                if PACKF:
-                    pw = jnp.where(ME > NEG_INF,
-                                   ((ME + opack) << _shw) | oor | IME, 0)
-                    d = 1
-                    while d < WP:
-                        pw = jnp.maximum(pw, _down(pw, d, 0))
-                        d *= 2
-                    pex = _down(pw, 1, 0)
-                    wmax_ex = (pex >> _shw) + (_L - 1)
-                    wid_ex = (pex & ((1 << _bid) - 1))
-                    F = jnp.where((pex > 0) & yok,
-                                  wmax_ex - fsub, NEG_INF)
-                else:
-                    w = jnp.where(ME > NEG_INF, ME + oext, NEG_INF)
-                    wmax, wid = _scan_max_plus(w, IME, WP)
-                    wmax_ex = _down(wmax, 1, NEG_INF)
-                    wid_ex = _down(wid, 1, 0)
-                    F = jnp.where((wmax_ex > NEG_INF) & yok,
-                                  wmax_ex - fsub, NEG_INF)
+                    if PACKF:
+                        pw = jnp.where(ME > NEG_INF,
+                                       ((ME + opack) << _shw) | oor | IME, 0)
+                        d = 1
+                        while d < WP:
+                            pw = jnp.maximum(pw, _down(pw, d, 0))
+                            d *= 2
+                        pex = _down(pw, 1, 0)
+                        wmax_ex = (pex >> _shw) + (_L - 1)
+                        wid_ex = (pex & ((1 << _bid) - 1))
+                        F = jnp.where((pex > 0) & yok,
+                                      wmax_ex - fsub, NEG_INF)
+                    else:
+                        w = jnp.where(ME > NEG_INF, ME + oext, NEG_INF)
+                        wmax, wid = _scan_max_plus(w, IME, WP)
+                        wmax_ex = _down(wmax, 1, NEG_INF)
+                        wid_ex = _down(wid, 1, 0)
+                        F = jnp.where((wmax_ex > NEG_INF) & yok,
+                                      wmax_ex - fsub, NEG_INF)
 
-                Hn = jnp.maximum(ME, F)
-                IHn = jnp.where(ME >= F, IME, wid_ex)
+                    Hn = jnp.maximum(ME, F)
+                    IHn = jnp.where(ME >= F, IME, wid_ex)
 
-                # per-cell candidate: strictly-greater keeps the cell's
-                # EARLIEST maximum (for fixed o, i+j grows with i)
-                Hn_pre = Hn
-                upc = Hn_pre > Hc
-                g = jnp.max(Hn_pre, axis=0, keepdims=True)         # (1, SB)
+                    # per-cell candidate: strictly-greater keeps the cell's
+                    # EARLIEST maximum (for fixed o, i+j grows with i)
+                    Hn_pre = Hn
+                    upc = Hn_pre > Hc
+                    g = jnp.max(Hn_pre, axis=0, keepdims=True)         # (1, SB)
 
-                prune = Hn < jnp.maximum(best, g) - xd
-                Hn = jnp.where(prune, NEG_INF, Hn)
-                Enew = jnp.where(prune, NEG_INF, Enew)
+                    prune = Hn < jnp.maximum(best, g) - xd
+                    Hn = jnp.where(prune, NEG_INF, Hn)
+                    Enew = jnp.where(prune, NEG_INF, Enew)
 
-                if E % G:                 # rows past E in the last group
-                    upd = i <= E          # are no-ops (E a G-multiple in
-                    Hn = jnp.where(upd, Hn, H)         # practice: static
-                    Enew = jnp.where(upd, Enew, Eg)    # branch, no cost)
-                    IHn = jnp.where(upd, IHn, IH)
-                    IEnew = jnp.where(upd, IEnew, IE)
-                    upc = upc & upd
-                    g = jnp.where(upd, g, NEG_INF)
-                Hc = jnp.where(upc, Hn_pre, Hc)
-                ic = jnp.where(upc, i, ic)
-                idc = jnp.where(upc, IHn, idc)
-                best = jnp.maximum(best, g)
-                H, Eg, IH, IE = Hn, Enew, IHn, IEnew
+                    if E % G:                 # rows past E in the last group
+                        upd = i <= E          # are no-ops (E a G-multiple in
+                        Hn = jnp.where(upd, Hn, H)         # practice: static
+                        Enew = jnp.where(upd, Enew, Eg)    # branch, no cost)
+                        IHn = jnp.where(upd, IHn, IH)
+                        IEnew = jnp.where(upd, IEnew, IE)
+                        upc = upc & upd
+                        g = jnp.where(upd, g, NEG_INF)
+                    Hc = jnp.where(upc, Hn_pre, Hc)
+                    ic = jnp.where(upc, i, ic)
+                    idc = jnp.where(upc, IHn, idc)
+                    best = jnp.maximum(best, g)
+                    H, Eg, IH, IE = Hn, Enew, IHn, IEnew
 
-            return (i_base + G, H, Eg, IH, IE, best, Hc, ic, idc)
+                return (i_base + G, H, Eg, IH, IE, best, Hc, ic, idc)
+
+            return body
+
+        # Three regions, same semantics: guarded head groups (rows
+        # i <= b need the j_idx >= 1 check), fast interior, guarded tail
+        # groups (rows i > jcap - b need the j_idx <= jcap check; with
+        # jcap >= E + b — the phase-1 shape — there is no tail).
+        head_end = min(max(1, -(-b // G)) * G, E)
+        tail_rows = max(0, E - (jcap - b))
+        fast_end = max(head_end, E - (-(-tail_rows // G)) * G)
+        body_g = make_body(True)
+        body_f = make_body(False)
+
+        def cond_until(limit):
+            def c(state):
+                return (state[0] < limit) & jnp.any(state[1] > NEG_INF)
+            return c
 
         state = (jnp.int32(0), H, Eg, IH, IE, best, Hc, ic, idc)
-        state = jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(cond_until(head_end), body_g, state)
+        if fast_end > head_end:
+            state = jax.lax.while_loop(cond_until(fast_end), body_f, state)
+        if E > fast_end:
+            state = jax.lax.while_loop(cond, body_g, state)
         _, Hend, _, _, _, best, Hc, ic, idc = state[:9]
 
         # final endpoint reduction, replaying the sequential rule as a
@@ -363,11 +395,17 @@ def _gather_window_packed(words: jnp.ndarray, nmask: jnp.ndarray, L: int,
     n = start.shape[0]
     step = int(step)
 
-    # row tables: 16 packed words (256 bases) / 8 mask words (256 bases)
+    # One combined row table: a 256-base row is 16 packed words + 8 mask
+    # words; fusing them into 24-wide rows makes the covering-row fetch
+    # ONE row gather instead of two (row gathers cost per ROW, and a
+    # 24-wide row costs less than a 16-wide plus an 8-wide —
+    # benchmarks/op_costs.py).
     NW16 = -(-words.shape[0] // 16)
-    w16 = jnp.pad(words, (0, NW16 * 16 - words.shape[0])).reshape(NW16, 16)
     NM8 = -(-nmask.shape[0] // 8)
-    m8 = jnp.pad(nmask, (0, NM8 * 8 - nmask.shape[0])).reshape(NM8, 8)
+    NROW = max(NW16, NM8)
+    w16 = jnp.pad(words, (0, NROW * 16 - words.shape[0])).reshape(NROW, 16)
+    m8 = jnp.pad(nmask, (0, NROW * 8 - nmask.shape[0])).reshape(NROW, 8)
+    combo = jnp.concatenate([w16, m8], axis=1)          # (NROW, 24)
 
     # window position extremes (either step direction)
     lo_pos = start + jnp.int32(step) * (-lead_pad if step > 0
@@ -376,9 +414,10 @@ def _gather_window_packed(words: jnp.ndarray, nmask: jnp.ndarray, L: int,
     NR = span // 256 + 2                   # covering 256-base rows
     r0 = lo_pos >> 8                       # first covering row
     g_nr = jax.lax.broadcasted_iota(jnp.int32, (NR, n), 0)
-    rws = jnp.clip(r0[None, :] + g_nr, 0, NW16 - 1)
-    WR = w16[rws]                          # (NR, n, 16) uint32
-    MR = m8[jnp.clip(r0[None, :] + g_nr, 0, NM8 - 1)]   # (NR, n, 8)
+    rws = jnp.clip(r0[None, :] + g_nr, 0, NROW - 1)
+    CR = combo[rws]                        # (NR, n, 24) uint32
+    WR = CR[..., :16]                      # (NR, n, 16)
+    MR = CR[..., 16:]                      # (NR, n, 8)
 
     # 2-bit words: groups of 16 rows; select the group's word from the
     # fetched rows by one-hot sum over (row, column) — all registers
