@@ -73,7 +73,12 @@ def main() -> int:
     # 1 process, 1 CPU device, size = per_device_bp
     t0 = time.perf_counter()
     p = _run(base + ["--size", str(args.per_device_bp)], args.timeout)
-    out, err = p.communicate(timeout=args.timeout)
+    try:
+        out, err = p.communicate(timeout=args.timeout)
+    except subprocess.TimeoutExpired:
+        p.kill()                      # no orphaned CPU burners
+        p.communicate()
+        raise SystemExit("1-proc run timed out")
     if p.returncode != 0:
         raise SystemExit(f"1-proc run failed rc={p.returncode}\n{err}")
     bp1 = _bp_per_s(out)
@@ -88,7 +93,14 @@ def main() -> int:
     t0 = time.perf_counter()
     procs = [_run(mp + ["--process-id", str(i)], args.timeout)
              for i in range(2)]
-    outs = [p.communicate(timeout=args.timeout) for p in procs]
+    try:
+        outs = [p.communicate(timeout=args.timeout) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        raise SystemExit("2-proc run timed out")
     for p, (out, err) in zip(procs, outs):
         if p.returncode != 0:
             raise SystemExit(f"2-proc rank failed rc={p.returncode}\n{err}")
