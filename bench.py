@@ -114,12 +114,22 @@ def main() -> int:
     # pipeline. Headline = the fused single-program pipeline (what a
     # production driver runs steady-state); staged walls below are the
     # per-stage diagnostic.
+    def check_caps(totals, nseeds):
+        # a rolled input could overflow where the unrolled warmup did not,
+        # silently truncating the timed workload (round-4 advisor): fetch
+        # the true counts of every timed run and fail loudly instead
+        assert max(map(int, totals)) <= cfg.hit_capacity, \
+            f"hit_capacity overflow on rolled input: {list(map(int, totals))}"
+        assert max(map(int, nseeds)) <= cfg.seed_cap, \
+            f"seed_capacity overflow on rolled input: {list(map(int, nseeds))}"
+
     roll = jax.jit(lambda c, r: jnp.roll(c, r))
     fused = jax.jit(lambda c: device.compare_fn(c, c, cfg, True))
     c1 = roll(codes, jnp.int32(1))
     t0 = time.perf_counter()
-    out, n_frags, _, _ = fused(c1)
+    out, n_frags, totals, nseeds = fused(c1)
     probe = int(n_frags) + int(out["xStart"][0])
+    check_caps(totals, nseeds)
     print(f"# fused compile+1st: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -127,9 +137,10 @@ def main() -> int:
     for r in range(args.runs):
         c = roll(codes, jnp.int32(2 + r))
         t0 = time.perf_counter()
-        out, n_frags, _, _ = fused(c)
+        out, n_frags, totals, nseeds = fused(c)
         probe = int(n_frags) + int(out["xStart"][0])   # forces execution
         times.append(time.perf_counter() - t0)
+        check_caps(totals, nseeds)                     # fetch outside the clock
     med = statistics.median(times)
     gbps = args.size / med / 1e9
     print(f"# fused times={['%.3f' % t for t in times]} median={med:.3f}s",

@@ -219,11 +219,16 @@ def read_frags_csv(src: Union[str, TextIO, bytes]) -> Dict[str, np.ndarray]:
         offs_y = offs_x                  # self-comparison: one Records map
     for i, r in enumerate(rows):
         ox = oy = 0
+        # A record id beyond the Records map means that side was single-
+        # record, where the writer uses a fixed convention id (seqY=1 for
+        # cross comparisons) and never shifts coordinates — offset 0.
         if record_mode:
             if offs_x is not None and len(r) > 11:
-                ox = int(offs_x[int(r[11])])
+                rid = int(r[11])
+                ox = int(offs_x[rid]) if rid < len(offs_x) else 0
             if offs_y is not None and len(r) > 12:
-                oy = int(offs_y[int(r[12])])
+                rid = int(r[12])
+                oy = int(offs_y[rid]) if rid < len(offs_y) else 0
         out["xStart"][i] = int(r[0]) - 1 + ox
         out["yStart"][i] = int(r[1]) - 1 + oy
         out["xEnd"][i] = int(r[2]) - 1 + ox

@@ -144,6 +144,43 @@ def test_record_coords_csv_round_trip():
         assert np.array_equal(back[k], want[k]), k
 
 
+def test_record_coords_multi_x_single_y_round_trip():
+    """coords="record" with multi-record X vs SINGLE-record Y (round-4
+    advisor, medium): the writer emits the cross convention seqY=1 while
+    the Records Y map has one entry; the reader must treat the
+    out-of-range record id as offset 0 (single-record sides are never
+    shifted), not index out of bounds."""
+    from repkiller_tpu.report import csv_writer
+
+    rng = np.random.default_rng(21)
+    rep = rng.integers(0, 4, 300, dtype=np.uint8)
+    a = rng.integers(0, 4, 1500, dtype=np.uint8)
+    b = rng.integers(0, 4, 1200, dtype=np.uint8)
+    y = rng.integers(0, 4, 1000, dtype=np.uint8)
+    a[200:500] = rep
+    b[600:900] = rep
+    y[350:650] = rep                       # repeat shared with both X records
+    xtext = (">cA\n" + codec.decode(a) + "\n>cB\n" + codec.decode(b) + "\n")
+    ytext = ">ySolo\n" + codec.decode(y) + "\n"
+    res = api.compare(xtext, ytext, CFG, backend="oracle")
+    assert res.n_fragments > 0
+
+    concat = io.StringIO()
+    res.write_csv(concat)
+    rec = io.StringIO()
+    res.write_csv(rec, coords="record")
+    rec_text = rec.getvalue()
+    assert "Coords : record\n" in rec_text
+    assert any(int(l.split(",")[13]) == 1 for l in rec_text.splitlines()
+               if l.startswith("Frag,")), "cross convention seqY=1 expected"
+
+    back = csv_writer.read_frags_csv(rec_text)
+    want = csv_writer.read_frags_csv(concat.getvalue())
+    for k in ("xStart", "yStart", "xEnd", "yEnd", "strand", "length",
+              "score", "idents", "group"):
+        assert np.array_equal(back[k], want[k]), k
+
+
 def test_record_coords_single_record_identical_rows():
     """Single-record inputs: record mode only adds the Coords header;
     every Frag row is byte-identical to concat mode."""
