@@ -34,7 +34,13 @@ SEED_CAP_DEV = 1 << 14
 def weak_genome(per_device_bp: int, n_blocks: int):
     import numpy as np
     from repkiller_tpu.utils import synth
-    parts = [synth.plant(per_device_bp, FAMS, seed=500 + i).codes
+    # block seeds 1000 apart: synth.plant derives family-unit RNG seeds
+    # as seed+100+fam_i, so adjacent block seeds would make block i's
+    # family f+1 unit share an RNG stream (= a unit PREFIX) with block
+    # i+1's family f — cross-block repeat families that grow total work
+    # superlinearly in devices (observed: 334 fragments for 2 blocks vs
+    # 90 for 1). Weak scaling needs per-device work ~constant.
+    parts = [synth.plant(per_device_bp, FAMS, seed=1000 * (i + 1)).codes
              for i in range(n_blocks)]
     return np.concatenate(parts)
 

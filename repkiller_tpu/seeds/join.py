@@ -84,6 +84,41 @@ def ranks_by_sort(ka, pa, n_valid, kqs, pqs):
     return [out[q * nq:(q + 1) * nq] for q in range(Q)]
 
 
+def owner_rows(counts: jnp.ndarray, offs: jnp.ndarray, capacity: int,
+               vals: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Static-capacity block expansion: slot t -> (offs, *vals) of the
+    contributing entry that owns it (the entry whose exclusive offset
+    block [offs, offs+count) contains t). Returns (capacity, 1+len(vals))
+    int32 rows; callers derive the intra-block index as t - rows[:, 0].
+
+    Round-5 cost rework (docs/PERF_NOTES.md corrected primitive costs):
+    the old form scattered ALL n entry ids at their block starts — an
+    n-element scatter, 28.9 ms at the 4.19M-entry headline scale, even
+    though only the contributing entries (count > 0, at most `capacity`
+    of them since each produces >= 1 output) matter. One 1-key sort
+    (12.1 ms at 3 operands) compacts the contributors to a dense
+    offs-sorted prefix first, so the block-start scatter shrinks to
+    `capacity` elements (6.9 ms) and the per-slot value reads ride one
+    row gather from the compacted rows. The slot->owner mapping is
+    unchanged (owner = last block start <= t, recovered by the same
+    scatter + running max), so the output is bit-identical.
+    """
+    n = counts.shape[0]
+    key = jnp.where(counts > 0, offs, jnp.int32(0x7FFFFFFF))
+    dense = jax.lax.sort((key,) + tuple(v.astype(jnp.int32) for v in vals),
+                         num_keys=1)
+    m = min(capacity, n)
+    dense = [d[:m] for d in dense]
+    ci = jnp.arange(m, dtype=jnp.int32)
+    # contributors have strictly increasing offs (unique slots); the
+    # first one starts at offs 0, so every t < total is covered. Entries
+    # past capacity (overflow, detected via total) land in the spill.
+    bidx = jnp.where(dense[0] < capacity, dense[0], capacity)
+    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].set(ci)
+    src = jax.lax.cummax(owner[:capacity])
+    return jnp.stack(dense, axis=1)[src]             # (capacity, 1+len(vals))
+
+
 def _run_bounds(k_sorted: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-entry [run_start, run_end) of equal-value runs in a sorted
     array — two O(n) scans, no searching."""
@@ -191,21 +226,13 @@ def join_hits(
     total = csum[-1] if nx > 0 else jnp.int32(0)
     offs = csum - counts                           # exclusive
 
-    # owner of output slot t = the last contributing entry whose exclusive
-    # offset is <= t: a scatter of entry ids at their offsets + cummax —
-    # O(capacity), replacing a sort-based searchsorted over csum.
-    # Contributing entries have strictly increasing offs (unique scatter
-    # indices); the first one starts at offs 0, so every t < total is
-    # covered. Entries with count 0 (and offsets past capacity) land in
-    # the discarded spill slot.
+    # owner recovery via sort-compaction + capacity-sized scatter + cummax
+    # (owner_rows docstring); rows carry this hit's source (offs, px, lo)
     t = jnp.arange(capacity, dtype=jnp.int32)
-    bidx = jnp.where(counts > 0, jnp.minimum(offs, capacity), capacity)
-    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].max(xi)
-    src = jax.lax.cummax(owner[:capacity])
-    srcc = jnp.minimum(src, nx - 1)
+    rows = owner_rows(counts, offs, capacity, (px, lo))
     hvalid = t < total
-    hpx = px[srcc]
-    y_idx = lo[srcc] + (t - offs[srcc])
+    hpx = rows[:, 1]
+    y_idx = rows[:, 2] + (t - rows[:, 0])
     hpy = py[jnp.clip(y_idx, 0, ky.shape[0] - 1)]
 
     hpx = jnp.where(hvalid, hpx, 0)

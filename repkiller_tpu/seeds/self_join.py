@@ -35,34 +35,24 @@ import jax
 import jax.numpy as jnp
 
 from ..index.canonical import CanonIndex
+from .join import owner_rows
 
 
 def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int,
             pos: jnp.ndarray
             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Slot t of the static-capacity output -> (source POSITION, partner
-    index, valid, total). Scatter+cummax owner recovery as seeds/join.py,
-    tuned to the measured op costs (benchmarks/op_costs.py, real chip):
-
-    - the block-start scatter uses ``.set`` (6.5 cyc/elem), not ``.max``
-      (9.2): nonzero-count block starts are unique slots and every
-      zero-count entry lands in the discarded spill slot, so set is
-      deterministic and identical;
-    - the three per-slot source lookups (lo, offs, pos) ride ONE (n, 3)
-      row gather instead of three element gathers (~8 cyc each)."""
+    index, valid, total). Owner recovery via seeds/join.owner_rows
+    (round-5 sort-compaction: the block-start scatter runs at capacity
+    size, not n — see its docstring for the measured-cost argument)."""
     n = counts.shape[0]
-    xi = jnp.arange(n, dtype=jnp.int32)
     csum = jnp.cumsum(counts)
     total = csum[-1] if n > 0 else jnp.int32(0)
     offs = csum - counts
     t = jnp.arange(capacity, dtype=jnp.int32)
-    bidx = jnp.where(counts > 0, jnp.minimum(offs, capacity), capacity)
-    owner = jnp.zeros(capacity + 1, jnp.int32).at[bidx].set(xi)
-    src = jax.lax.cummax(owner[:capacity])
-    srcc = jnp.minimum(src, n - 1)
-    packed = jnp.stack([lo, offs, pos], axis=1)[srcc]     # (capacity, 3)
-    y_idx = packed[:, 0] + (t - packed[:, 1])
-    return packed[:, 2], y_idx, t < total, total
+    rows = owner_rows(counts, offs, capacity, (lo, pos))
+    y_idx = rows[:, 1] + (t - rows[:, 0])
+    return rows[:, 2], y_idx, t < total, total
 
 
 def join_self_canonical(
