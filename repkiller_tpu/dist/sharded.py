@@ -11,13 +11,30 @@ Structure (one jitted program over a (data, shard) mesh):
            (d, s) blocks IS the single-device hit set, each hit exactly
            once — equality with the oracle is by construction, not by
            reconciliation (SURVEY.md §7 "Hard parts" #1).
-  stage B  global ops — hit thinning (one lax.sort over the gathered
-           blocks), a sharding constraint that re-balances the surviving
-           seeds evenly across ALL devices (extension cost is per-seed,
-           not per-window, so this fixes hit-density skew), extension,
-           and the merge/accept/canonical sort. XLA inserts the
-           all-gathers/all-to-alls over ICI; no hand-written collectives
-           (SURVEY.md §2.3).
+  stage B  per-device thin + extend (round 5). Device (d, s) all-gathers
+           its data row's hit blocks along the SHARD axis (one tiled ICI
+           collective, hit_capacity/n_data values), so it holds window
+           d's COMPLETE hit set; it then thins and extends window-locally
+           — NO global capacity-sized ops. This is exact, not
+           approximate: windows are rounded to lcm(min_hit_dist,
+           gate_stride), so thinning buckets (diag, px//min_hit_dist)
+           and gate buckets (diag, px//gate_stride) never span a window
+           boundary, and per-window thinning/gating equals global
+           thinning/gating — the same alignment proof the streamed
+           driver rests on (dist/windows.py). The round-4 form ran one
+           GLOBAL thinning sort + globally-rebalanced extension; XLA's
+           SPMD partitioner rematerialises sorts and arbitrary-index
+           gathers by all-gathering the full arrays, so per-device work
+           GREW with total size — the round-5 weak-scaling proxy
+           measured 0.30 efficiency at 2 devices. Per-window stage B
+           keeps per-device work constant under weak scaling. The
+           shard-axis devices of one data row recompute the same
+           thin+extend (extension scales on the DATA axis; the shard
+           axis scales index MEMORY); meshes should maximise n_data.
+  stage C  global merge/accept/canonical sort over the concatenated
+           per-window fragment blocks (the one remaining global stage,
+           ~10% of headline cost). XLA inserts the gathers over ICI; no
+           hand-written collectives (SURVEY.md §2.3).
 
 The final fragment table is bit-identical to oracle.pipeline.compare and
 device.compare for every mesh shape — asserted by tests/dist/.
@@ -98,13 +115,34 @@ def _build_idx(codes, cfg: Config, mesh: Mesh, n_shard: int, cap_shard: int):
                                mesh, SHARD_AXIS), None
 
 
+def _thin_extend_window(hpx_blk, hpy_blk, hv_blk, cx, cy_cmp, cfg: Config,
+                        strand: int, win_seed_cap: int):
+    """Per-device body of stage B. The hit blocks arrive as this device's
+    (cap_dev,) stage-A output; the tiled all_gather along the SHARD axis
+    assembles window d's COMPLETE hit set (every k-mer's hits live in
+    exactly one shard), after which thinning, gating and extension are
+    window-local and exact (window alignment argument in the module
+    docstring). Output is replicated across the shard axis by
+    construction (every (d, s) computes from the same gathered set)."""
+    hx = jax.lax.all_gather(hpx_blk, SHARD_AXIS, tiled=True)
+    hy = jax.lax.all_gather(hpy_blk, SHARD_AXIS, tiled=True)
+    hv = jax.lax.all_gather(hv_blk, SHARD_AXIS, tiled=True)
+    spx, spy, svalid, n_seeds = filter_hits(hx, hy, hv, cfg.min_hit_dist,
+                                            out_capacity=win_seed_cap)
+    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
+                                n_live=n_seeds)
+    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    return frag, fvalid, n_seeds.reshape(1)
+
+
 def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
                         self_cmp: bool, cfg: Config, mesh: Mesh,
                         win: int, cap_dev: int, cap_shard: int):
-    """Sharded hits + balanced extension for one strand. idxX_sh is the
-    physically sharded X index (build_sharded_index); Y's index is built
-    sharded here per strand. Returns the per-shard Y counts so the host
-    can detect shard-capacity overflow."""
+    """Sharded hits + per-window thin/extend for one strand. idxX_sh is
+    the physically sharded X index (build_sharded_index); Y's index is
+    built sharded here per strand. Returns the per-shard Y counts so the
+    host can detect shard-capacity overflow."""
+    n_data = mesh.shape[DATA_AXIS]
     n_shard = mesh.shape[SHARD_AXIS]
     blk_over = None
     if self_cmp and strand == 0:
@@ -114,6 +152,7 @@ def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
         self_mode = "r" if self_cmp else None
 
     dd = P((DATA_AXIS, SHARD_AXIS))
+    dp = P(DATA_AXIS)
     sp = P(SHARD_AXIS)
     joined = jax.shard_map(
         functools.partial(_window_join, win=win, cap_dev=cap_dev, cfg=cfg,
@@ -124,17 +163,18 @@ def _one_strand_sharded(cx, cx_pad, idxX_sh, cy_cmp, strand: int,
     )(cx_pad, idxY_sh, (idxX_sh[0], idxX_sh[2]))
     hpx, hpy, hvalid, totals = joined
 
-    # stage B: global thinning, then balanced extension
-    spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hvalid, cfg.min_hit_dist,
-                                            out_capacity=cfg.seed_cap)
-    sh = NamedSharding(mesh, dd)
-    spx = jax.lax.with_sharding_constraint(spx, sh)
-    spy = jax.lax.with_sharding_constraint(spy, sh)
-    svalid = jax.lax.with_sharding_constraint(svalid, sh)
-
-    frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
-                                n_live=n_seeds)
-    frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+    # stage B: per-device window-local thinning + extension (module
+    # docstring). Fragment blocks come back sharded over the data axis
+    # (length n_data * win_seed_cap = seed_cap), replicated over shard.
+    win_seed_cap = cfg.seed_cap // n_data
+    frag, fvalid, n_seeds = jax.shard_map(
+        functools.partial(_thin_extend_window, cfg=cfg, strand=strand,
+                          win_seed_cap=win_seed_cap),
+        mesh=mesh,
+        in_specs=(dd, dd, dd, P(), P()),
+        out_specs=(dp, dp, dp),
+        check_vma=False,
+    )(hpx, hpy, hvalid, cx, cy_cmp)
     return frag, fvalid, totals, n_seeds, idxY_sh[2], blk_over
 
 
@@ -222,6 +262,11 @@ def compare_sharded(
 
     n_pos = cx.shape[0] - cfg.k + 1
     win = -(-n_pos // n_data)                   # ceil
+    # round the window UP to the thinning/gating bucket quantum so no
+    # bucket spans a window boundary — the exactness condition for the
+    # per-window stage B (module docstring; dist/windows.py proof)
+    quantum = int(np.lcm(cfg.min_hit_dist, max(cfg.gate_stride, 1)))
+    win = -(-win // quantum) * quantum
     pad_to = n_data * win + cfg.k - 1
     cx_pad = np.full(pad_to, 4, np.uint8)       # N padding -> invalid k-mers
     cx_pad[: cx.shape[0]] = cx
@@ -260,11 +305,13 @@ def compare_sharded(
         raise ValueError(
             f"per-device hit capacity {cap_dev} overflow (max block "
             f"{int(totals.max())}); raise Config.hit_capacity")
-    nseeds = np.asarray(nseeds)
-    if (nseeds > cfg.seed_cap).any():
+    nseeds = np.asarray(nseeds)              # (n_strands, n_data): per window
+    win_seed_cap = cfg.seed_cap // n_data
+    if (nseeds > win_seed_cap).any():
         raise ValueError(
-            f"seed_capacity={cfg.seed_cap} overflow: strand seed counts "
-            f"{nseeds.tolist()}; raise Config.seed_capacity")
+            f"per-window seed capacity {win_seed_cap} (= seed_capacity "
+            f"{cfg.seed_cap} / {n_data} windows) overflow: max window "
+            f"seed count {int(nseeds.max())}; raise Config.seed_capacity")
     n = int(n_frags)
     if n > 0 and n == out["xStart"].shape[0]:
         raise ValueError("frag capacity overflow; raise "

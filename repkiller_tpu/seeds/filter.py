@@ -50,12 +50,15 @@ def filter_hits(
     keep = valid_s & first
 
     # compact kept hits to the front, preserving (diag, px) order: a
-    # stable partition (one scatter + two gathers, trimmed to
-    # out_capacity) instead of a second capacity-sized 3-operand sort
+    # stable partition (one scatter + one row gather, trimmed to
+    # out_capacity) instead of a second capacity-sized 3-operand sort.
+    # (px, py) ride ONE (n, 2) row gather — ~9 cyc/row vs 2 element
+    # gathers at ~8 cyc each (docs/PERF_NOTES.md corrected costs).
     order, _, n_kept = partition_live(keep)
     if out_capacity is not None and out_capacity < order.shape[0]:
         order = order[:out_capacity]
-    px_c, py_c = px_s[order], py_s[order]
+    rows = jnp.stack([px_s, py_s], axis=1)[order]
+    px_c, py_c = rows[:, 0], rows[:, 1]
     valid_c = jnp.arange(px_c.shape[0], dtype=jnp.int32) < n_kept
     px_c = jnp.where(valid_c, px_c, 0)
     py_c = jnp.where(valid_c, py_c, 0)
