@@ -65,6 +65,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..index.build import build_index
+from ..index.canonical import build_canonical_index
 from ..index.shards import (build_sharded_index, build_sharded_index_dist,
                             shard_capacity)
 from ..seeds.join import join_hits
@@ -113,6 +114,128 @@ def _build_idx(codes, cfg: Config, mesh: Mesh, n_shard: int, cap_shard: int):
         return (kS, pS, cnt), blk_over
     return build_sharded_index(codes, cfg.k, n_shard, cap_shard,
                                mesh, SHARD_AXIS), None
+
+
+def _pack_by_window(px, py, hv, n_data: int, win: int, cap_b: int):
+    """Partition one device's hit block by destination window
+    (dest = px // win) into static (n_data, cap_b) send blocks, dense per
+    block. Returns (pxB, pyB, okB int8, max_count) — the caller raises a
+    shard_slack overflow when max_count > cap_b (truncation is detected,
+    never silent). One 1-key 3-operand sort + a tiny boundary bisect +
+    one (n_data, cap_b) gather."""
+    cap = px.shape[0]
+    dest = jnp.where(hv, px // jnp.int32(win), jnp.int32(n_data))
+    d_s, px_s, py_s = jax.lax.sort(
+        (dest, px.astype(jnp.int32), py.astype(jnp.int32)), num_keys=1)
+    b = jnp.searchsorted(d_s, jnp.arange(n_data + 1, dtype=jnp.int32),
+                         side="left").astype(jnp.int32)
+    cnt = b[1:] - b[:-1]
+    rows = b[:-1, None] + jnp.arange(cap_b, dtype=jnp.int32)[None, :]
+    ok = rows < b[1:, None]
+    idx = jnp.minimum(rows, cap - 1)
+    pxB = jnp.where(ok, px_s[idx], 0)
+    pyB = jnp.where(ok, py_s[idx], 0)
+    return pxB, pyB, ok.astype(jnp.int8), jnp.max(cnt)
+
+
+def _canon_self_body(ci_fields, cx, cy_r, cfg: Config, win: int,
+                     cap_dev: int, cap_b: int, blk_e: int,
+                     win_seed_cap: int, n_data: int, n_shard: int):
+    """Per-device body of the canonical sharded SELF path: ONE canonical
+    index serves both strands (the trick that makes the single-device
+    pipeline 5.4x faster than the generic windowed join at 48 Mbp —
+    benchmarks/big_config_dissect.py round 5). Device i of n_dev
+    enumerates hit expansions for entry slice [i*blk_e, (i+1)*blk_e)
+    (hits partition by source entry), regroups its hits by destination
+    px-window with one all_to_all along the data axis, all_gathers the
+    window's blocks along the shard axis, then thins/gates/extends
+    window-locally (exact: window alignment argument in the module
+    docstring)."""
+    from ..index.canonical import CanonIndex
+    from ..seeds.self_join import join_self_canonical
+    ci = CanonIndex(*ci_fields)
+    d = jax.lax.axis_index(DATA_AXIS)
+    s = jax.lax.axis_index(SHARD_AXIS)
+    i = d * jnp.int32(n_shard) + s
+    hits_f, hits_r = join_self_canonical(
+        ci, cfg.k, cfg.max_occ, cap_dev, y_len=cx.shape[0],
+        entry_slice=(i * jnp.int32(blk_e), blk_e))
+
+    pairs = [(0, hits_f)] if "f" in cfg.strands else []
+    if "r" in cfg.strands:
+        pairs.append((1, hits_r))
+    out = []
+    cnt_max = []
+    for strand, (hpx, hpy, hv, total) in pairs:
+        pxB, pyB, okB, cmax = _pack_by_window(hpx, hpy, hv, n_data, win,
+                                              cap_b)
+        cnt_max.append(cmax)
+        if n_data > 1:
+            pxB = jax.lax.all_to_all(pxB, DATA_AXIS, 0, 0, tiled=True)
+            pyB = jax.lax.all_to_all(pyB, DATA_AXIS, 0, 0, tiled=True)
+            okB = jax.lax.all_to_all(okB, DATA_AXIS, 0, 0, tiled=True)
+        hx, hy, hv2 = (a.reshape(-1) for a in (pxB, pyB, okB))
+        if n_shard > 1:
+            hx = jax.lax.all_gather(hx, SHARD_AXIS, tiled=True)
+            hy = jax.lax.all_gather(hy, SHARD_AXIS, tiled=True)
+            hv2 = jax.lax.all_gather(hv2, SHARD_AXIS, tiled=True)
+        spx, spy, svalid, n_seeds = filter_hits(
+            hx, hy, hv2.astype(bool), cfg.min_hit_dist,
+            out_capacity=win_seed_cap)
+        cy_cmp = cx if strand == 0 else cy_r
+        frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
+                                    n_live=n_seeds)
+        frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
+        out.append((frag, fvalid, n_seeds.reshape(1)))
+    totals = jnp.stack([t for _, (_, _, _, t) in pairs]).reshape(1, -1)
+    cnt_max = jnp.stack(cnt_max).reshape(1, -1)
+    return tuple(out) + (totals, cnt_max)
+
+
+def _self_canonical_sharded(cx, cfg: Config, mesh: Mesh, win: int,
+                            cap_dev: int):
+    """Both strands of a sharded self-comparison from ONE canonical
+    index. The index is built once (replicated — its distributed-build
+    variant is the remaining scaling step; codes are replicated in this
+    design anyway, sharded.py module docstring) and every device expands
+    an equal slice of entries, so the expensive expansion/thin/extend
+    work is 1/n_dev / 1/n_data per device."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_shard = mesh.shape[SHARD_AXIS]
+    n_dev = n_data * n_shard
+    ci = build_canonical_index(cx, cfg.k)
+    n = ci.pos.shape[0]
+    blk_e = -(-n // n_dev)
+    n_pad = n_dev * blk_e
+    if n_pad > n:
+        pad = lambda a: jnp.concatenate(        # noqa: E731
+            [a, jnp.zeros(n_pad - n, a.dtype)])
+        fields = [pad(a) if a.ndim == 1 else a for a in ci]
+    else:
+        fields = list(ci)
+    cy_r = revcomp_device(cx)
+    # per-(device, destination-window) send-block capacity: slack over
+    # the uniform share, overflow detected (entry slices are canon-
+    # ordered, so a repeat neighbourhood can focus one device's hits on
+    # few windows)
+    cap_b = shard_capacity(cap_dev, n_data, cfg.shard_slack)
+    win_seed_cap = cfg.seed_cap // n_data
+
+    dd = P((DATA_AXIS, SHARD_AXIS))
+    dp = P(DATA_AXIS)
+    n_str = ("f" in cfg.strands) + ("r" in cfg.strands)
+    *strand_outs, totals, cnt_max = jax.shard_map(
+        functools.partial(_canon_self_body, cfg=cfg, win=win,
+                          cap_dev=cap_dev, cap_b=cap_b, blk_e=blk_e,
+                          win_seed_cap=win_seed_cap, n_data=n_data,
+                          n_shard=n_shard),
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=tuple((dp, dp, dp) for _ in range(n_str)) + (dd, dd),
+        check_vma=False,
+    )(tuple(fields), cx, cy_r)
+    # totals/cnt_max: (n_dev, n_strands) columns in strand order
+    return strand_outs, totals, cnt_max, jnp.int32(cap_b)
 
 
 def _thin_extend_window(hpx_blk, hpy_blk, hv_blk, cx, cy_cmp, cfg: Config,
@@ -184,28 +307,42 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
                          mesh: Mesh, win: int, cap_dev: int, cap_shard: int):
     cy_f = cx if self_cmp else cy
     n_shard = mesh.shape[SHARD_AXIS]
-    idxX_sh, blkX = _build_idx(cx, cfg, mesh, n_shard, cap_shard)
 
     frags, valids, totals, nseeds = [], [], [], []
-    shard_cnts = [idxX_sh[2]]
-    blk_overs = [blkX] if blkX is not None else []
-    if "f" in cfg.strands:
-        fr, va, th, ns, sc, bo = _one_strand_sharded(
-            cx, cx_pad, idxX_sh, cy_f, 0, self_cmp, cfg, mesh, win,
-            cap_dev, cap_shard)
-        frags.append(fr), valids.append(va), totals.append(th)
-        nseeds.append(ns), shard_cnts.append(sc)
-        if bo is not None:
-            blk_overs.append(bo)
-    if "r" in cfg.strands:
-        cy_r = revcomp_device(cy_f)
-        fr, va, th, ns, sc, bo = _one_strand_sharded(
-            cx, cx_pad, idxX_sh, cy_r, 1, self_cmp, cfg, mesh, win,
-            cap_dev, cap_shard)
-        frags.append(fr), valids.append(va), totals.append(th)
-        nseeds.append(ns), shard_cnts.append(sc)
-        if bo is not None:
-            blk_overs.append(bo)
+    shard_cnts = []
+    blk_overs = []
+    if self_cmp:
+        # canonical self path: ONE index, both strands, per-device entry
+        # slices (5.4x the generic windowed join at 48 Mbp — round 5)
+        strand_outs, tot, cnt_max, cap_b = _self_canonical_sharded(
+            cx, cfg, mesh, win, cap_dev)
+        for j, (fr, va, ns) in enumerate(strand_outs):
+            frags.append(fr), valids.append(va), nseeds.append(ns)
+            totals.append(tot[:, j])
+        blk_overs.append(jnp.stack([jnp.max(cnt_max), cap_b]))
+        shard_cnts.append(jnp.zeros(n_shard, jnp.int32))
+    else:
+        idxX_sh, blkX = _build_idx(cx, cfg, mesh, n_shard, cap_shard)
+        shard_cnts.append(idxX_sh[2])
+        if blkX is not None:
+            blk_overs.append(blkX)
+        if "f" in cfg.strands:
+            fr, va, th, ns, sc, bo = _one_strand_sharded(
+                cx, cx_pad, idxX_sh, cy_f, 0, self_cmp, cfg, mesh, win,
+                cap_dev, cap_shard)
+            frags.append(fr), valids.append(va), totals.append(th)
+            nseeds.append(ns), shard_cnts.append(sc)
+            if bo is not None:
+                blk_overs.append(bo)
+        if "r" in cfg.strands:
+            cy_r = revcomp_device(cy_f)
+            fr, va, th, ns, sc, bo = _one_strand_sharded(
+                cx, cx_pad, idxX_sh, cy_r, 1, self_cmp, cfg, mesh, win,
+                cap_dev, cap_shard)
+            frags.append(fr), valids.append(va), totals.append(th)
+            nseeds.append(ns), shard_cnts.append(sc)
+            if bo is not None:
+                blk_overs.append(bo)
 
     frag = {k: jnp.concatenate([f[k] for f in frags]) for k in frags[0]}
     valid = jnp.concatenate(valids)
@@ -294,17 +431,21 @@ def compare_sharded(
             f"index shard capacity {cap_shard} overflow (max shard "
             f"{int(shard_cnts.max())} entries — skewed k-mer prefixes); "
             "raise Config.shard_slack")
-    blk_over = np.asarray(blk_over)
-    if (blk_over[:, 0] > blk_over[:, 1]).any():
-        raise ValueError(
-            f"distributed index build shuffle block overflow (max block "
-            f"{int(blk_over[:, 0].max())} entries > cap {int(blk_over[0, 1])}"
-            " — chunk-local k-mer prefix skew); raise Config.shard_slack")
+    # hit-capacity overflow is checked BEFORE block skew: when the
+    # expansion itself overflowed, the skewed send blocks are just a
+    # consequence and raising hit_capacity is the actionable fix
     totals = np.asarray(totals)
     if (totals > cap_dev).any():
         raise ValueError(
             f"per-device hit capacity {cap_dev} overflow (max block "
             f"{int(totals.max())}); raise Config.hit_capacity")
+    blk_over = np.asarray(blk_over)
+    if (blk_over[:, 0] > blk_over[:, 1]).any():
+        raise ValueError(
+            f"shuffle block overflow (max block "
+            f"{int(blk_over[:, 0].max())} entries > cap "
+            f"{int(blk_over[:, 1].max())} — chunk-local k-mer prefix or "
+            "window-destination skew); raise Config.shard_slack")
     nseeds = np.asarray(nseeds)              # (n_strands, n_data): per window
     win_seed_cap = cfg.seed_cap // n_data
     if (nseeds > win_seed_cap).any():

@@ -74,40 +74,40 @@ class CanonIndex(NamedTuple):
     n_valid: jnp.ndarray     # int32     valid prefix length (A order)
 
 
-def build_canonical_index(codes: jnp.ndarray, k: int,
-                          scan_broadcast: bool = True) -> CanonIndex:
-    """Canonical self-comparison index (see module docstring).
+def canon_posfp(codes: jnp.ndarray, k: int):
+    """Per-position (canon, posfp) pair stream + validity.
 
-    scan_broadcast=True (default) replaces the n-sized run-boundary
-    gathers (``ones_cum[loA]``, ``fA[loA]``, ``ones_cum[hiA-1]``) with
-    masked cummax / reverse-cummin segment broadcasts — bit-identical
-    (tests/unit/test_canonical.py) and 4.6x faster for the whole build
-    on chip (206.6 -> 44.8 ms at 4.19M entries, fetch-forced chain
-    timing 2026-08-21): benchmarks/op_costs.py measured gathers at ~8
-    cycles/element vs ~0.3 for scans, the opposite of the r1 folk model
-    that priced them equal. The gather form stays for reference."""
+    posfp packs (pos << 2) | (flag << 1) | palin — flag/palin ride the
+    position key's low bits so the canonical sort stays at 2 operands
+    (requires pos < 2^29: per-sequence genomes < 536 Mbp, which int32
+    coordinates bound anyway). Invalid positions carry canon = SENTINEL;
+    a VALID canon is min(km, rc(km)) and can never be SENTINEL
+    (rc(SENTINEL) == 0), so no separate invalid key is needed."""
     km, pos, valid = extract_kmers(codes, k)
     rc = revcomp_kmer(km, k)
     canon = jnp.minimum(km, rc)
     flag = (km != canon).astype(jnp.int32)
     palin = (km == rc).astype(jnp.int32)
     canon = jnp.where(valid, canon, SENTINEL)
-    # no separate `invalid` key: a VALID canon is min(km, rc(km)) and can
-    # never be SENTINEL (rc(SENTINEL) == 0), so the sentinel groups all
-    # invalid entries strictly after every valid run on its own.
-    n = km.shape[0]
-    n_valid = jnp.sum(valid.astype(jnp.int32))
-
-    # Sort operand packing: flag and palin ride in the position key's low
-    # bits (pos dominant, so within-run order is still by pos), keeping
-    # the lax.sort at 2 operands. Requires pos < 2^29 (per-sequence
-    # genomes < 536 Mbp — int32 coordinates bound the pipeline anyway).
     posfp = (pos << 2) | (flag << 1) | palin
+    return canon, posfp, valid
 
-    cA, pfA = jax.lax.sort((canon, posfp), num_keys=2)
+
+def canon_scans(cA: jnp.ndarray, pfA: jnp.ndarray, n_valid,
+                scan_broadcast: bool = True) -> CanonIndex:
+    """CanonIndex from an ALREADY (canon, posfp)-sorted entry array.
+
+    Everything here is run-local (O(n) scans + one more local sort for
+    pos_b), so it applies unchanged to a hash-sharded slice of the
+    canonical entry space: ownership is a pure function of canon, every
+    run lives wholly in one shard, and the returned B-slot indices are
+    local to the array passed in (dist/sharded.py's canonical self
+    path)."""
     pA = pfA >> 2
     fA = (pfA >> 1) & 1
     plA = pfA & 1
+    n = cA.shape[0]
+    n_valid = jnp.asarray(n_valid, jnp.int32)
     loA, hiA = _run_bounds(cA)
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -154,3 +154,21 @@ def build_canonical_index(codes: jnp.ndarray, k: int,
                       run_mid=mid, run_hi=hi, own_rank=own_rank,
                       alt_before=alt_before, palin=plA == 1,
                       n_valid=n_valid)
+
+
+def build_canonical_index(codes: jnp.ndarray, k: int,
+                          scan_broadcast: bool = True) -> CanonIndex:
+    """Canonical self-comparison index (see module docstring).
+
+    scan_broadcast=True (default) replaces the n-sized run-boundary
+    gathers (``ones_cum[loA]``, ``fA[loA]``, ``ones_cum[hiA-1]``) with
+    masked cummax / reverse-cummin segment broadcasts — bit-identical
+    (tests/unit/test_canonical.py) and 4.6x faster for the whole build
+    on chip (206.6 -> 44.8 ms at 4.19M entries, fetch-forced chain
+    timing 2026-08-21): benchmarks/op_costs.py measured gathers at ~8
+    cycles/element vs ~0.3 for scans, the opposite of the r1 folk model
+    that priced them equal. The gather form stays for reference."""
+    canon, posfp, valid = canon_posfp(codes, k)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    cA, pfA = jax.lax.sort((canon, posfp), num_keys=2)
+    return canon_scans(cA, pfA, n_valid, scan_broadcast=scan_broadcast)

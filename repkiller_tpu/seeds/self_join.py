@@ -57,6 +57,7 @@ def _expand(lo: jnp.ndarray, counts: jnp.ndarray, capacity: int,
 
 def join_self_canonical(
     ci: CanonIndex, k: int, max_occ: int, capacity: int, y_len: int,
+    entry_slice: Tuple = None,
 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
            Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """-> ((hpx_f, hpy_f, valid_f, total_f), (hpx_r, hpy_r, valid_r,
@@ -65,18 +66,37 @@ def join_self_canonical(
     Entries iterate in A (pos-interleaved) order; partner intervals are
     B-slot ranges (index/canonical.py) whose positions are gathered from
     the scattered ``pos_b`` view. My own B slot = own subrun start + own
-    rank."""
+    rank.
+
+    entry_slice=(offset, blk) restricts ENUMERATION to entries
+    [offset, offset + blk): per-entry fields are sliced (so the
+    expansion's sorts/scans run at blk, not n) while partner gathers
+    still read the full ``pos_b``. Because every hit has exactly one
+    source entry, the hit sets of a partition of entry slices partition
+    the full hit set — the per-device decomposition of the sharded
+    canonical self path (dist/sharded.py)."""
     n = ci.pos.shape[0]
-    xi = jnp.arange(n, dtype=jnp.int32)
+    if entry_slice is None:
+        off = jnp.int32(0)
+        sl = lambda a: a                            # noqa: E731
+        m = n
+    else:
+        off, m = entry_slice[0].astype(jnp.int32), int(entry_slice[1])
+        sl = lambda a: jax.lax.dynamic_slice(a, (off,), (m,))  # noqa: E731
+    pos, flag, palin = sl(ci.pos), sl(ci.flag), sl(ci.palin)
+    run_lo, run_mid, run_hi = sl(ci.run_lo), sl(ci.run_mid), sl(ci.run_hi)
+    own_rank, alt_before = sl(ci.own_rank), sl(ci.alt_before)
+
+    xi = off + jnp.arange(m, dtype=jnp.int32)
     is_valid = xi < ci.n_valid
-    own_lo = jnp.where(ci.flag == 0, ci.run_lo, ci.run_mid)
-    own_hi = jnp.where(ci.flag == 0, ci.run_mid, ci.run_hi)
-    alt_lo = jnp.where(ci.flag == 0, ci.run_mid, ci.run_lo)
-    alt_hi = jnp.where(ci.flag == 0, ci.run_hi, ci.run_mid)
+    own_lo = jnp.where(flag == 0, run_lo, run_mid)
+    own_hi = jnp.where(flag == 0, run_mid, run_hi)
+    alt_lo = jnp.where(flag == 0, run_mid, run_lo)
+    alt_hi = jnp.where(flag == 0, run_hi, run_mid)
     own_n = own_hi - own_lo
     alt_n = alt_hi - alt_lo
-    run_n = ci.run_hi - ci.run_lo
-    slot = own_lo + ci.own_rank          # my B slot
+    run_n = run_hi - run_lo
+    slot = own_lo + own_rank             # my B slot
 
     # ---- forward: same k-mer, px < py ----
     # palindromic runs are all flag 0, so own == run there and no
@@ -85,18 +105,18 @@ def join_self_canonical(
     keep_f = is_valid & (occ_f <= max_occ)
     f_lo = slot + 1
     cnt_f = jnp.where(keep_f, jnp.maximum(own_hi - f_lo, 0), 0)
-    px_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity, ci.pos)
+    px_f, yi_f, valid_f, total_f = _expand(f_lo, cnt_f, capacity, pos)
     hpx_f = jnp.where(valid_f, px_f, 0)
     hpy_f = jnp.where(valid_f, ci.pos_b[jnp.clip(yi_f, 0, n - 1)], 0)
 
     # ---- reverse: km_p == rc(km_q), p <= q (palindrome self kept once) ----
     occ_rx = own_n                                   # km_p occurrences in X
-    occ_ry = jnp.where(ci.palin, run_n, alt_n)       # in revcomp(X)
+    occ_ry = jnp.where(palin, run_n, alt_n)          # in revcomp(X)
     keep_r = is_valid & (occ_rx <= max_occ) & (occ_ry <= max_occ)
-    r_lo = jnp.where(ci.palin, slot, alt_lo + ci.alt_before)
-    r_hi = jnp.where(ci.palin, ci.run_hi, alt_hi)
+    r_lo = jnp.where(palin, slot, alt_lo + alt_before)
+    r_hi = jnp.where(palin, run_hi, alt_hi)
     cnt_r = jnp.where(keep_r, jnp.maximum(r_hi - r_lo, 0), 0)
-    px_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity, ci.pos)
+    px_r, yi_r, valid_r, total_r = _expand(r_lo, cnt_r, capacity, pos)
     hpx_r = jnp.where(valid_r, px_r, 0)
     q = ci.pos_b[jnp.clip(yi_r, 0, n - 1)]
     hpy_r = jnp.where(valid_r, jnp.int32(y_len - k) - q, 0)

@@ -72,11 +72,14 @@ def test_shard_overflow_raises():
 
     if jax.device_count() < 4:
         pytest.skip("needs 4 virtual devices")
-    # poly-A genome: every k-mer is 0 -> all rows land in shard 0
+    # poly-A genomes: every k-mer is 0 -> all index rows land in shard 0.
+    # A CROSS comparison exercises the sharded Y-index build (round 5:
+    # self-comparisons use the canonical path, which has no per-k-mer
+    # index shards to overflow).
     codes = np.zeros(3000, np.uint8)
     cfg = Config(k=K, strands="f", hit_capacity=1 << 12, max_occ=1 << 30)
     with pytest.raises(ValueError, match="shard_slack"):
-        compare_sharded(codes, None, cfg, make_mesh(2, 2))
+        compare_sharded(codes, codes.copy(), cfg, make_mesh(2, 2))
 
 
 class TestDistributedBuild:
