@@ -61,11 +61,38 @@ def build_frags(config: int, scale: float):
     return frag, cfg
 
 
+def synthetic_pileups(n_loci: int, copies: int, seed: int = 5):
+    """Dense repeat-pileup fragment table (the regime where the host
+    path's np.minimum.at propagation goes superlinear — families/
+    cluster.py's cost-curve comment: ~12 s at 3.3M edges): n_loci
+    repeat loci, `copies` same-locus fragments each -> ~n_loci *
+    copies^2/2 edges."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = n_loci * copies
+    base = np.repeat(rng.integers(0, 1 << 27, n_loci), copies)
+    jit_ = rng.integers(0, 8, n)
+    xs = (base + jit_).astype(np.int32)
+    ln = rng.integers(150, 170, n).astype(np.int32)
+    ys = rng.integers(0, 1 << 27, n).astype(np.int32)
+    frag = {
+        "xStart": xs, "xEnd": xs + ln - 1,
+        "yStart": ys, "yEnd": ys + ln - 1,
+        "strand": np.zeros(n, np.int32), "length": ln,
+        "score": ln * 4, "idents": ln,
+    }
+    order = np.lexsort((frag["yStart"], frag["xStart"], frag["strand"]))
+    return {k: v[order] for k, v in frag.items()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=(2, 4), default=2)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N_LOCI",
+                    help="skip the pipeline; time both paths on a dense "
+                         "synthetic pileup table (N_LOCI x 32 fragments)")
     args = ap.parse_args()
 
     cache = os.path.join(os.path.dirname(os.path.dirname(
@@ -77,9 +104,14 @@ def main() -> int:
     from repkiller_tpu.families import cluster
 
     t0 = time.perf_counter()
-    frag, cfg = build_frags(args.config, args.scale)
+    if args.synthetic:
+        from repkiller_tpu.config import Config
+        frag, cfg = synthetic_pileups(args.synthetic, 32), Config()
+        args.config = 0
+    else:
+        frag, cfg = build_frags(args.config, args.scale)
     n = frag["xStart"].shape[0]
-    print(f"# pipeline run: {time.perf_counter()-t0:.1f}s, {n} fragments",
+    print(f"# table build: {time.perf_counter()-t0:.1f}s, {n} fragments",
           file=sys.stderr)
     frag.pop("group", None)
 
