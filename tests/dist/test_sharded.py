@@ -48,6 +48,21 @@ def test_cross_invariant_over_mesh(shape):
     assert got["xStart"].shape[0] > 0
 
 
+@pytest.mark.parametrize("strands", ["r", "fr"])
+def test_self_strand_selection_over_mesh(strands):
+    """The canonical sharded self path builds its strand outputs from a
+    static strand list (round 5) — cover the r-only and both-strand
+    variants on a 2-axis mesh (f-only is the suite default elsewhere)."""
+    cfg = CFG.replace(strands=strands)
+    g = synth.plant(3000, [(120, 4, 0.04, 2), (80, 2, 0.0, 1)], seed=13)
+    want = orc.compare(g.codes, None, cfg)
+    got = compare_sharded(g.codes, None, cfg, make_mesh(2, 2))
+    _assert_frag_equal(got, want)
+    assert got["xStart"].shape[0] > 0
+    if strands == "r":
+        assert set(got["strand"].tolist()) == {1}
+
+
 def test_banded_sharded_matches_oracle():
     cfg = CFG.replace(extend_mode="banded", band=4)
     g = synth.plant(2000, [(100, 3, 0.04, 1)], seed=3)
