@@ -48,9 +48,9 @@ _SAVE_FIELDS = ("xStart", "yStart", "xEnd", "yEnd", "strand", "length",
                 "score", "idents")
 
 
-def _window_step(cx_pad, cx, cy_cmp, idxY, idxX_occ, w0, cfg: Config,
-                 self_mode: Optional[str], win: int, strand: int):
-    """Seeds + extension for one window of one strand; merge happens later."""
+def _window_seeds(cx_pad, cy_len, idxY, idxX_occ, w0, cfg: Config,
+                  self_mode: Optional[str], win: int):
+    """Window k-mers -> joined, thinned seeds (one staged program)."""
     sl = jax.lax.dynamic_slice(cx_pad, (w0,), (win + cfg.k - 1,))
     km, pos, nv = build_index(sl, cfg.k)
     pos = pos + w0
@@ -58,13 +58,25 @@ def _window_step(cx_pad, cx, cy_cmp, idxY, idxX_occ, w0, cfg: Config,
     hpx, hpy, hv, total = join_hits(
         km, pos, nv, ky, py, nyv,
         k=cfg.k, max_occ=cfg.max_occ, capacity=cfg.hit_capacity,
-        self_mode=self_mode, y_len=cy_cmp.shape[0], occ_idx=idxX_occ)
+        self_mode=self_mode, y_len=cy_len, occ_idx=idxX_occ)
     spx, spy, svalid, n_seeds = filter_hits(hpx, hpy, hv, cfg.min_hit_dist,
                                             out_capacity=cfg.seed_cap)
+    return spx, spy, svalid, n_seeds, total
+
+
+def _window_extend(spx, spy, svalid, n_seeds, cx, cy_cmp, cfg: Config,
+                   strand: int):
+    """Seed extension for one window (second staged program).
+
+    Split from _window_seeds in round 5: the FUSED per-window program
+    stalled the axon remote compiler for hours across two rounds
+    (campaign heartbeat logs: compile-cache entry count frozen), while
+    each half compiles in minutes — the same staged-programs cure
+    device.compare uses for the fused whole-pipeline program."""
     frag, fvalid = extend_gated(spx, spy, svalid, cx, cy_cmp, cfg,
                                 n_live=n_seeds)
     frag["strand"] = jnp.where(fvalid, jnp.int32(strand), 0)
-    return frag, fvalid, n_seeds, total
+    return frag, fvalid
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "y_len"))
@@ -154,17 +166,20 @@ def compare_streamed(
         # array objects (self f: cy IS cx, idxY IS idxX) — the hoisted-
         # constant executable is then hit by the other strand's 9-buffer
         # call ("supplied 9 buffers but compiled program expected 11")
-        step = jax.jit(functools.partial(_window_step, cfg=cfg,
-                                         self_mode=self_mode, win=win,
-                                         strand=strand))
+        seeds_step = jax.jit(functools.partial(
+            _window_seeds, cfg=cfg, self_mode=self_mode, win=win))
+        extend_step = jax.jit(functools.partial(
+            _window_extend, cfg=cfg, strand=strand))
         for w in range(n_win):
             key = (w, strand)
             if key in done:
                 z = np.load(os.path.join(out_dir, done[key]))
                 blocks.append(({f: z[f] for f in _SAVE_FIELDS}, z["valid"]))
                 continue
-            frag, valid, n_seeds, total = step(
-                dcx_pad, dcx, cy_cmp, idxY, idxX_occ, jnp.int32(w * win))
+            spx, spy, sv, n_seeds, total = seeds_step(
+                dcx_pad, jnp.int32(cy_cmp.shape[0]), idxY, idxX_occ,
+                jnp.int32(w * win))
+            frag, valid = extend_step(spx, spy, sv, n_seeds, dcx, cy_cmp)
             if int(total) > cfg.hit_capacity:
                 raise ValueError(
                     f"window {w} strand {strand}: {int(total)} hits exceed "
