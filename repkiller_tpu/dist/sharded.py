@@ -66,8 +66,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..index.build import build_index
 from ..index.canonical import build_canonical_index
-from ..index.shards import (build_sharded_index, build_sharded_index_dist,
-                            shard_capacity)
+from ..index.shards import (build_canonical_dist, build_sharded_index,
+                            build_sharded_index_dist, shard_capacity)
 from ..seeds.join import join_hits
 from ..seeds.filter import filter_hits
 from ..chain.diagonal import extend_gated
@@ -160,7 +160,45 @@ def _canon_self_body(ci_fields, cx, cy_r, cfg: Config, win: int,
     hits_f, hits_r = join_self_canonical(
         ci, cfg.k, cfg.max_occ, cap_dev, y_len=cx.shape[0],
         entry_slice=(i * jnp.int32(blk_e), blk_e))
+    return _regroup_thin_extend(hits_f, hits_r, cx, cy_r, cfg, win, cap_b,
+                                win_seed_cap, n_data, n_shard)
 
+
+def _canon_self_body_dist(ci_fields, cx, cy_r, cfg: Config, win: int,
+                          cap_dev: int, cap_b: int, blk_e: int,
+                          win_seed_cap: int, n_data: int, n_shard: int):
+    """Hash-SHARDED index variant of _canon_self_body (multi-device
+    meshes): the canonical index arrives physically sharded by canon
+    low bits (index/shards.build_canonical_dist — O(n/n_shard)
+    per-device build and storage, no replicated canonical build or
+    transient). Device (d, s) expands data-slice d of SHARD s's
+    entries; partner gathers read the whole shard's pos_b, which this
+    device stores anyway. The entry partition is (shard, slice) — still
+    a partition of all entries, so the hit set is unchanged and the
+    shared regroup/thin/extend tail applies as-is."""
+    from ..index.canonical import CanonIndex
+    from ..seeds.self_join import join_self_canonical
+    fields = list(ci_fields)
+    nv = fields[-1][0]                       # my shard's valid count
+    ci = CanonIndex(*([f[0] for f in fields[:-1]] + [nv]))
+    d = jax.lax.axis_index(DATA_AXIS)
+    hits_f, hits_r = join_self_canonical(
+        ci, cfg.k, cfg.max_occ, cap_dev, y_len=cx.shape[0],
+        entry_slice=(d * jnp.int32(blk_e), blk_e))
+    return _regroup_thin_extend(hits_f, hits_r, cx, cy_r, cfg, win, cap_b,
+                                win_seed_cap, n_data, n_shard)
+
+
+def _regroup_thin_extend(hits_f, hits_r, cx, cy_r, cfg: Config, win: int,
+                         cap_b: int, win_seed_cap: int, n_data: int,
+                         n_shard: int):
+    """Shared tail of both canonical self bodies: regroup this device's
+    hits by destination px-window with one all_to_all along the data
+    axis, all_gather the window's blocks along the shard axis, then
+    thin/gate/extend window-locally (exact: window alignment argument
+    in the module docstring). Output is replicated across the shard
+    axis by construction (every (d, s) computes from the same gathered
+    set)."""
     pairs = [(0, hits_f)] if "f" in cfg.strands else []
     if "r" in cfg.strands:
         pairs.append((1, hits_r))
@@ -193,26 +231,18 @@ def _canon_self_body(ci_fields, cx, cy_r, cfg: Config, win: int,
 
 
 def _self_canonical_sharded(cx, cfg: Config, mesh: Mesh, win: int,
-                            cap_dev: int):
+                            cap_dev: int, cap_shard: int):
     """Both strands of a sharded self-comparison from ONE canonical
-    index. The index is built once (replicated — its distributed-build
-    variant is the remaining scaling step; codes are replicated in this
-    design anyway, sharded.py module docstring) and every device expands
-    an equal slice of entries, so the expensive expansion/thin/extend
-    work is 1/n_dev / 1/n_data per device."""
+    index; every device expands an equal slice of entries, so the
+    expensive expansion/thin/extend work is 1/n_dev / 1/n_data per
+    device. On a 1-device mesh the index is built in place (nothing to
+    distribute); multi-device meshes build it physically sharded by
+    canon low bits via the all_to_all shuffle
+    (index/shards.build_canonical_dist) — per-device build work,
+    storage, and transient are all O(n/n_shard)."""
     n_data = mesh.shape[DATA_AXIS]
     n_shard = mesh.shape[SHARD_AXIS]
     n_dev = n_data * n_shard
-    ci = build_canonical_index(cx, cfg.k)
-    n = ci.pos.shape[0]
-    blk_e = -(-n // n_dev)
-    n_pad = n_dev * blk_e
-    if n_pad > n:
-        pad = lambda a: jnp.concatenate(        # noqa: E731
-            [a, jnp.zeros(n_pad - n, a.dtype)])
-        fields = [pad(a) if a.ndim == 1 else a for a in ci]
-    else:
-        fields = list(ci)
     cy_r = revcomp_device(cx)
     # per-(device, destination-window) send-block capacity: slack over
     # the uniform share, overflow detected (entry slices are canon-
@@ -220,22 +250,53 @@ def _self_canonical_sharded(cx, cfg: Config, mesh: Mesh, win: int,
     # few windows)
     cap_b = shard_capacity(cap_dev, n_data, cfg.shard_slack)
     win_seed_cap = cfg.seed_cap // n_data
-
     dd = P((DATA_AXIS, SHARD_AXIS))
     dp = P(DATA_AXIS)
+    sp = P(SHARD_AXIS)
     n_str = ("f" in cfg.strands) + ("r" in cfg.strands)
-    *strand_outs, totals, cnt_max = jax.shard_map(
-        functools.partial(_canon_self_body, cfg=cfg, win=win,
-                          cap_dev=cap_dev, cap_b=cap_b, blk_e=blk_e,
-                          win_seed_cap=win_seed_cap, n_data=n_data,
-                          n_shard=n_shard),
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=tuple((dp, dp, dp) for _ in range(n_str)) + (dd, dd),
-        check_vma=False,
-    )(tuple(fields), cx, cy_r)
+    out_specs = tuple((dp, dp, dp) for _ in range(n_str)) + (dd, dd)
+
+    if n_dev == 1:
+        ci = build_canonical_index(cx, cfg.k)
+        n = ci.pos.shape[0]
+        blk_e = -(-n // n_dev)
+        n_pad = n_dev * blk_e
+        if n_pad > n:
+            pad = lambda a: jnp.concatenate(        # noqa: E731
+                [a, jnp.zeros(n_pad - n, a.dtype)])
+            fields = [pad(a) if a.ndim == 1 else a for a in ci]
+        else:
+            fields = list(ci)
+        *strand_outs, totals, cnt_max = jax.shard_map(
+            functools.partial(_canon_self_body, cfg=cfg, win=win,
+                              cap_dev=cap_dev, cap_b=cap_b, blk_e=blk_e,
+                              win_seed_cap=win_seed_cap, n_data=n_data,
+                              n_shard=n_shard),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )(tuple(fields), cx, cy_r)
+        shard_cnt = jnp.zeros(n_shard, jnp.int32)
+        blk_build = None
+    else:
+        ci2, shard_cnt, blk_build = build_canonical_dist(
+            cx, cfg.k, n_shard, cap_shard, mesh, DATA_AXIS, SHARD_AXIS,
+            cfg.shard_slack)
+        blk_e = cap_shard // n_data
+        *strand_outs, totals, cnt_max = jax.shard_map(
+            functools.partial(_canon_self_body_dist, cfg=cfg, win=win,
+                              cap_dev=cap_dev, cap_b=cap_b, blk_e=blk_e,
+                              win_seed_cap=win_seed_cap, n_data=n_data,
+                              n_shard=n_shard),
+            mesh=mesh,
+            in_specs=(tuple(sp for _ in range(10)), P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )(tuple(ci2), cx, cy_r)
     # totals/cnt_max: (n_dev, n_strands) columns in strand order
-    return strand_outs, totals, cnt_max, jnp.int32(cap_b)
+    return (strand_outs, totals, cnt_max, jnp.int32(cap_b), shard_cnt,
+            blk_build)
 
 
 def _thin_extend_window(hpx_blk, hpy_blk, hv_blk, cx, cy_cmp, cfg: Config,
@@ -314,13 +375,15 @@ def _compare_sharded_jit(cx, cx_pad, cy, cfg: Config, self_cmp: bool,
     if self_cmp:
         # canonical self path: ONE index, both strands, per-device entry
         # slices (5.4x the generic windowed join at 48 Mbp — round 5)
-        strand_outs, tot, cnt_max, cap_b = _self_canonical_sharded(
-            cx, cfg, mesh, win, cap_dev)
+        strand_outs, tot, cnt_max, cap_b, shard_cnt, blk_build = \
+            _self_canonical_sharded(cx, cfg, mesh, win, cap_dev, cap_shard)
         for j, (fr, va, ns) in enumerate(strand_outs):
             frags.append(fr), valids.append(va), nseeds.append(ns)
             totals.append(tot[:, j])
         blk_overs.append(jnp.stack([jnp.max(cnt_max), cap_b]))
-        shard_cnts.append(jnp.zeros(n_shard, jnp.int32))
+        if blk_build is not None:
+            blk_overs.append(blk_build)
+        shard_cnts.append(shard_cnt)
     else:
         idxX_sh, blkX = _build_idx(cx, cfg, mesh, n_shard, cap_shard)
         shard_cnts.append(idxX_sh[2])
@@ -409,6 +472,9 @@ def compare_sharded(
     cx_pad[: cx.shape[0]] = cx
     n_pos_max = max(cx.shape[0], cy.shape[0]) - cfg.k + 1
     cap_shard = shard_capacity(n_pos_max, n_shard, cfg.shard_slack)
+    # the canonical self path slices each shard's rows across the data
+    # axis (blk_e = cap_shard / n_data) — align so the slices tile
+    cap_shard = -(-cap_shard // n_data) * n_data
 
     def _global(arr):
         # Single-process: a plain device array. Multi-process: every host

@@ -46,6 +46,130 @@ from .build import build_index, SENTINEL
 MAXP = jnp.int32((1 << 31) - 1)   # pad position: sorts after any valid pos
 
 
+def build_canonical_dist(
+    codes: jnp.ndarray, k: int, n_shard: int, cap_shard: int,
+    mesh: Mesh, data_axis: str, shard_axis: str, slack: float,
+):
+    """Distributed build of a hash-SHARDED canonical index (the
+    canonical analog of :func:`build_sharded_index_dist`; round 5 —
+    removes the replicated canonical build from the sharded self path).
+
+    Ownership: shard of canon ``c`` = top log2(n_shard) bits of
+    ``c * 2654435761`` (Knuth's multiplicative hash) — NOT the prefix
+    the plain k-mer index uses, and not the raw low bits either:
+    canonical values are biased toward small numbers (canon =
+    min(km, rc), top bit set with probability ~1/4) so prefixes skew
+    ~3:1 at n_shard=2, and the low bits are the canonical orientation's
+    LAST BASE, measurably non-uniform too (1.7x skew on a random 3 kbp
+    test genome). Any pure function of canon keeps every run in one
+    shard, which is all the self-join needs; the multiplicative mix
+    balances within the 1.5x default slack.
+
+    Returns ``(ci2, cnt, blk_over)``: ``ci2`` is a CanonIndex whose
+    per-entry fields are (n_shard, cap_shard) arrays sharded
+    P(shard_axis) — row s is shard s's entries sorted by (canon,
+    posfp) with shard-LOCAL B-slot indices, and ``ci2.n_valid`` is the
+    (n_shard,) per-shard valid count; ``cnt`` is the same true
+    per-shard entry count on the host side (caller raises when
+    cnt > cap_shard) and ``blk_over`` = [max shuffle-block count,
+    cap_blk] as in the k-mer builder.
+    """
+    from .canonical import canon_posfp, canon_scans, CanonIndex
+    assert n_shard & (n_shard - 1) == 0, "n_shard must be a power of two"
+    n_data = mesh.shape[data_axis]
+    n_dev = n_data * n_shard
+    L = codes.shape[0]
+    n_pos = L - k + 1
+    chunk = -(-n_pos // n_dev)
+    pad_to = n_dev * chunk + k - 1
+    codes_pad = jnp.concatenate(
+        [codes, jnp.full(pad_to - L, 4, jnp.uint8)]) if pad_to > L else codes
+
+    canon, posfp, valid = canon_posfp(codes_pad, k)
+    # invalid entries: owner n_shard (sorts after every real shard, cut
+    # by nv_row); valid canon can never be SENTINEL so no key conflict
+    if n_shard == 1:
+        own_hash = jnp.zeros_like(canon)
+    else:
+        bits = (n_shard - 1).bit_length()
+        own_hash = ((canon * jnp.uint32(2654435761))
+                    >> jnp.uint32(32 - bits))
+    owner = jnp.where(valid, own_hash,
+                      jnp.uint32(n_shard)).astype(jnp.int32)
+
+    dsh = NamedSharding(mesh, P((data_axis, shard_axis)))
+    ownR = jax.lax.with_sharding_constraint(owner.reshape(n_dev, chunk), dsh)
+    canR = jax.lax.with_sharding_constraint(canon.reshape(n_dev, chunk), dsh)
+    pfR = jax.lax.with_sharding_constraint(posfp.reshape(n_dev, chunk), dsh)
+
+    # per-chunk row sort by (owner, canon, posfp): rows independent
+    ownS, canS, pfS = jax.lax.sort((ownR, canR, pfR), dimension=1,
+                                   num_keys=3)
+    nv_row = jnp.sum(valid.reshape(n_dev, chunk).astype(jnp.int32), axis=1)
+
+    cap_blk = shard_capacity(chunk, n_shard, slack)
+    if n_shard == 1:
+        b_lo = jnp.zeros((n_dev, 1), jnp.int32)
+    else:
+        bounds = jnp.arange(n_shard, dtype=jnp.int32)
+        b_lo = jax.vmap(
+            lambda row: jnp.searchsorted(row, bounds, side="left")
+        )(ownS).astype(jnp.int32)
+        b_lo = jnp.minimum(b_lo, nv_row[:, None])
+    b = jnp.concatenate([b_lo, nv_row[:, None]], axis=1)
+    c_cnt = b[:, 1:] - b[:, :-1]
+    blk_max = jnp.max(c_cnt)
+
+    rows = b[:, :-1, None] + jnp.arange(cap_blk, dtype=jnp.int32)[None, None, :]
+    ok = rows < b[:, 1:, None]
+    idx = jnp.minimum(rows, chunk - 1)
+    kB = jnp.where(ok, jnp.take_along_axis(canS[:, None, :], idx, axis=2),
+                   SENTINEL)
+    pB = jnp.where(ok, jnp.take_along_axis(pfS[:, None, :], idx, axis=2),
+                   MAXP)
+    bsp = NamedSharding(mesh, P((data_axis, shard_axis), None, None))
+    kB = jax.lax.with_sharding_constraint(kB, bsp)
+    pB = jax.lax.with_sharding_constraint(pB, bsp)
+
+    M = n_data * n_shard * cap_blk
+    cnt = jnp.sum(c_cnt, axis=0, dtype=jnp.int32)          # (n_shard,)
+
+    def _shuffle_scan(kb, pb, nv):         # local (1, n_shard, cap_blk)
+        if n_shard > 1:
+            kr = jax.lax.all_to_all(kb[0], shard_axis, 0, 0, tiled=True)
+            pr = jax.lax.all_to_all(pb[0], shard_axis, 0, 0, tiled=True)
+        else:
+            kr, pr = kb[0], pb[0]
+        if n_data > 1:
+            kg = jax.lax.all_gather(kr, data_axis)
+            pg = jax.lax.all_gather(pr, data_axis)
+        else:
+            kg, pg = kr[None], pr[None]
+        kf = kg.reshape(M)
+        pf = pg.reshape(M)
+        if M < cap_shard:
+            kf = jnp.pad(kf, (0, cap_shard - M), constant_values=SENTINEL)
+            pf = jnp.pad(pf, (0, cap_shard - M), constant_values=int(MAXP))
+        ks, ps = jax.lax.sort((kf, pf), num_keys=2)
+        ks, ps = ks[:cap_shard], ps[:cap_shard]
+        # shard-local canonical scans (run-local by construction:
+        # ownership is a pure function of canon). nv arrives replicated.
+        s = jax.lax.axis_index(shard_axis)
+        ci = canon_scans(ks, ps, nv[jnp.minimum(s, n_shard - 1)])
+        return tuple(f[None] if f.ndim else f.reshape(1)
+                     for f in ci)
+
+    ci_rows = jax.shard_map(
+        _shuffle_scan, mesh=mesh,
+        in_specs=(P((data_axis, shard_axis), None, None),) * 2 + (P(),),
+        out_specs=(P(shard_axis),) * 10,
+        check_vma=False,               # replicated along data (all_gather)
+    )(kB, pB, cnt)
+    ci2 = CanonIndex(*ci_rows)
+    blk_over = jnp.stack([blk_max, jnp.int32(cap_blk)])
+    return ci2, cnt, blk_over
+
+
 def shard_capacity(n_pos: int, n_shard: int, slack: float) -> int:
     """Static per-shard row capacity: slack * n / n_shard, 8-aligned,
     never above n (the n_shard == 1 degenerate case)."""
